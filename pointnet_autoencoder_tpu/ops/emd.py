@@ -1,0 +1,172 @@
+"""Approximate Earth-Mover's distance op, TPU-native.
+
+Equivalent of the reference ops ``ApproxMatch`` / ``MatchCost`` /
+``MatchCostGrad`` (tf_ops/approxmatch/tf_approxmatch.cpp:7-21, CUDA kernels
+tf_approxmatch_g.cu), re-designed for TPU.
+
+``approx_match`` runs 10 fixed temperature-annealing rounds (j = 7..-2,
+level = -4^j, final round level = 0 -- the *GPU* kernel's schedule at
+tf_approxmatch_g.cu:21-25, which is what the reference trains with; the CPU
+variant starts at j=8). Each round performs three O(N*M) sweeps:
+
+  1. row-normalize:   ratioL_k = remainL_k / (1e-9 + sum_l K_kl * remainR_l)
+  2. column-saturate: sumr_l = (sum_k K_kl ratioL_k) * remainR_l,
+                      ratioR_l = min(remainR_l/(sumr_l+1e-9), 1) * remainR_l,
+                      remainR_l = max(0, remainR_l - sumr_l)
+  3. accumulate:      w_kl = K_kl * ratioL_k * ratioR_l; match += w,
+                      remainL_k = max(0, remainL_k - sum_l w_kl)
+
+with K_kl = exp(level * ||p_k - q_l||^2). All sweeps are dense
+exp/matvec-shaped work -- ideal VPU/MXU material -- expressed as a
+``lax.scan`` over the 10 levels. The squared-distance matrix is computed
+once and reused across levels.
+
+The matching is a constant w.r.t. autodiff (the reference declares
+ApproxMatch non-differentiable, tf_approxmatch.py:22); ``match_cost`` carries
+the closed-form custom VJP of sum(match * ||p-q||) with the plan held fixed
+(tf_approxmatch_g.cu:229-295).
+
+Capacity factors for unequal cloud sizes use integer division
+(multiL = m//n or 1, multiR = n//m or 1) exactly as the CUDA kernel
+(tf_approxmatch_g.cu:4-11).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_LEVELS = tuple(
+    0.0 if j == -2 else -(4.0**j) for j in range(7, -3, -1)
+)
+
+
+def _capacities(n: int, m: int):
+    if n >= m:
+        return 1.0, float(n // m)
+    return float(m // n), 1.0
+
+
+def _approx_match_dense(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
+    """Dense annealed matching. xyz1 (B,N,3), xyz2 (B,M,3) -> (B,M,N)."""
+    b, n, _ = xyz1.shape
+    m = xyz2.shape[1]
+    multi_l, multi_r = _capacities(n, m)
+    f32 = jnp.float32
+    x1 = xyz1.astype(f32)
+    x2 = xyz2.astype(f32)
+
+    # (B,N,M) squared distances, computed once; K = exp(level*d2) per level.
+    d2 = jnp.zeros((b, n, m), f32)
+    for c in range(3):
+        diff = x1[:, :, None, c] - x2[:, None, :, c]
+        d2 = d2 + diff * diff
+
+    levels = jnp.asarray(_LEVELS, f32)
+
+    def round_fn(carry, level):
+        match, remain_l, remain_r = carry
+        k_mat = jnp.exp(level * d2)  # (B,N,M)
+        # Sweep 1: row normalizers.
+        suml = 1e-9 + jnp.einsum("bnm,bm->bn", k_mat, remain_r)
+        ratio_l = remain_l / suml
+        # Sweep 2: column saturation.
+        sumr = jnp.einsum("bnm,bn->bm", k_mat, ratio_l) * remain_r
+        consumption = jnp.minimum(remain_r / (sumr + 1e-9), 1.0)
+        ratio_r = consumption * remain_r
+        remain_r = jnp.maximum(0.0, remain_r - sumr)
+        # Sweep 3: accumulate transported mass.
+        w = k_mat * ratio_l[:, :, None] * ratio_r[:, None, :]  # (B,N,M)
+        match = match + w
+        remain_l = jnp.maximum(0.0, remain_l - jnp.sum(w, axis=2))
+        return (match, remain_l, remain_r), None
+
+    init = (
+        jnp.zeros((b, n, m), f32),
+        jnp.full((b, n), multi_l, f32),
+        jnp.full((b, m), multi_r, f32),
+    )
+    (match, _, _), _ = jax.lax.scan(round_fn, init, levels)
+    # Reference layout: match[b, l, k] pairs xyz2 point l with xyz1 point k.
+    return jnp.swapaxes(match, 1, 2)
+
+
+def approx_match(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
+    """Approximately matches two point clouds with a soft transport plan.
+
+    Args:
+      xyz1: (B, N, 3) "dataset" cloud.
+      xyz2: (B, M, 3) "query" cloud.
+
+    Returns:
+      match: (B, M, N) non-negative transported mass; rows index xyz2.
+
+    Non-differentiable by design (gradients are stopped), matching the
+    reference's ``ops.NoGradient('ApproxMatch')``.
+    """
+    return jax.lax.stop_gradient(_approx_match_dense(xyz1, xyz2))
+
+
+def _match_cost_impl(xyz1, xyz2, match):
+    d2 = jnp.zeros(xyz1.shape[:1] + (xyz1.shape[1], xyz2.shape[1]),
+                   jnp.float32)
+    for c in range(3):
+        diff = xyz1[:, :, None, c] - xyz2[:, None, :, c]
+        d2 = d2 + diff * diff
+    d = jnp.sqrt(d2)  # true (unsquared) distance, tf_approxmatch.cpp:85-105
+    return jnp.einsum("bnm,bmn->b", d, match)
+
+
+@jax.custom_vjp
+def _match_cost(xyz1, xyz2, match):
+    return _match_cost_impl(xyz1, xyz2, match)
+
+
+def _match_cost_fwd(xyz1, xyz2, match):
+    return _match_cost_impl(xyz1, xyz2, match), (xyz1, xyz2, match)
+
+
+def _match_cost_bwd(res, g):
+    """Closed-form gradient, transport plan constant (GPU kernel semantics:
+    rsqrt(max(d2, 1e-20)), tf_approxmatch_g.cu:244,282). Works one
+    coordinate at a time so only (B,N,M) buffers are live, never (B,N,M,3)."""
+    xyz1, xyz2, match = res
+    d2 = jnp.zeros(xyz1.shape[:1] + (xyz1.shape[1], xyz2.shape[1]),
+                   jnp.float32)
+    for c in range(3):
+        diff = xyz1[:, :, None, c] - xyz2[:, None, :, c]
+        d2 = d2 + diff * diff
+    rinv = jax.lax.rsqrt(jnp.maximum(d2, 1e-20))
+    w = jnp.swapaxes(match, 1, 2) * rinv  # (B,N,M)
+    g1_cols = []
+    g2_cols = []
+    for c in range(3):
+        diff = xyz1[:, :, None, c] - xyz2[:, None, :, c]  # (B,N,M)
+        wd = w * diff
+        g1_cols.append(jnp.sum(wd, axis=2))
+        g2_cols.append(-jnp.sum(wd, axis=1))
+    g1 = jnp.stack(g1_cols, axis=-1) * g[:, None, None]
+    g2 = jnp.stack(g2_cols, axis=-1) * g[:, None, None]
+    return g1, g2, None
+
+
+_match_cost.defvjp(_match_cost_fwd, _match_cost_bwd)
+
+
+def match_cost(xyz1: jax.Array, xyz2: jax.Array, match: jax.Array):
+    """Transport cost sum_{k,l} ||xyz1_k - xyz2_l|| * match[l,k] per batch.
+
+    Returns (B,) float32. Differentiable in xyz1/xyz2 with the plan held
+    constant; ``match`` receives no gradient.
+    """
+    return _match_cost(xyz1, xyz2, jax.lax.stop_gradient(match))
+
+
+def emd_loss(pred: jax.Array, label: jax.Array) -> jax.Array:
+    """mean over batch of approx-EMD(label -> pred), the reference's EMD
+    training loss (models/model_emd.py:86-88): NOT normalized by N and NOT
+    scaled by 100."""
+    match = approx_match(label, pred)
+    return jnp.mean(match_cost(label, pred, match))
