@@ -1,0 +1,79 @@
+"""Synthetic on-disk ShapeNetPart fixture.
+
+Writes a tiny dataset in the exact layout PartDataset consumes
+(synsetoffset2category.txt, train_test_split/*.json, <synset>/points/*.pts,
+<synset>/points_label/*.seg), so the loader, pipeline, CLI, and end-to-end
+training can run without the real 635 MB archive. Shapes are simple
+parametric surfaces (sphere / box shell / cylinder) with part labels by
+region, which gives the autoencoder something learnable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List
+
+import numpy as np
+
+_SYNSETS = {"Chair": "03001627", "Table": "04379243", "Lamp": "03636649"}
+
+
+def _make_shape(rng: np.random.Generator, kind: int, npts: int):
+    if kind == 0:  # sphere with hemisphere part labels
+        v = rng.normal(size=(npts, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True) + 1e-9
+        seg = (v[:, 1] > 0).astype(np.int64) + 1
+    elif kind == 1:  # axis-aligned box shell, labels by dominant face axis
+        face = rng.integers(0, 3, size=npts)
+        signs = rng.choice([-1.0, 1.0], size=npts)
+        v = rng.uniform(-1, 1, size=(npts, 3))
+        v[np.arange(npts), face] = signs
+        seg = face.astype(np.int64) + 1
+    else:  # cylinder with cap/side labels
+        theta = rng.uniform(0, 2 * np.pi, size=npts)
+        y = rng.uniform(-1, 1, size=npts)
+        v = np.stack([np.cos(theta), y, np.sin(theta)], axis=1)
+        cap = rng.random(npts) < 0.2
+        v[cap, 1] = np.sign(v[cap, 1])
+        seg = cap.astype(np.int64) + 1
+    # Random anisotropic scale + jitter so shapes differ.
+    v = v * rng.uniform(0.5, 1.5, size=(1, 3))
+    v = v + rng.normal(scale=0.02, size=v.shape)
+    return v.astype(np.float32), seg
+
+
+def write_fixture(root: str, shapes_per_category: int = 12,
+                  points_per_shape: int = 128, seed: int = 0,
+                  categories: List[str] | None = None) -> str:
+    """Creates the fixture under ``root`` and returns ``root``."""
+    rng = np.random.default_rng(seed)
+    cats = categories or list(_SYNSETS)
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "synsetoffset2category.txt"), "w") as f:
+        for c in cats:
+            f.write(f"{c}\t{_SYNSETS[c]}\n")
+
+    splits: Dict[str, List[str]] = {"train": [], "val": [], "test": []}
+    for c in cats:
+        synset = _SYNSETS[c]
+        pts_dir = os.path.join(root, synset, "points")
+        seg_dir = os.path.join(root, synset, "points_label")
+        os.makedirs(pts_dir, exist_ok=True)
+        os.makedirs(seg_dir, exist_ok=True)
+        for i in range(shapes_per_category):
+            token = f"{synset}_{i:04d}"
+            pts, seg = _make_shape(rng, i % 3, points_per_shape)
+            np.savetxt(os.path.join(pts_dir, token + ".pts"), pts, fmt="%.6f")
+            np.savetxt(os.path.join(seg_dir, token + ".seg"), seg, fmt="%d")
+            # ~2/3 train, 1/6 val, 1/6 test.
+            bucket = ("train", "val", "test")[0 if i % 6 < 4 else 1 if i % 6 == 4 else 2]
+            splits[bucket].append(f"shape_data/{synset}/{token}")
+
+    split_dir = os.path.join(root, "train_test_split")
+    os.makedirs(split_dir, exist_ok=True)
+    for name, entries in splits.items():
+        with open(os.path.join(split_dir, f"shuffled_{name}_file_list.json"),
+                  "w") as f:
+            json.dump(entries, f)
+    return root

@@ -1,0 +1,65 @@
+"""Device mesh and sharding helpers.
+
+The reference is single-process, single-GPU (SURVEY.md section 2.3); the
+TPU build makes data parallelism first-class: a 1-D ``Mesh`` over the
+'data' axis, batches sharded along it, parameters/optimizer state
+replicated. The train step is compiled with GSPMD jit against these
+shardings, so XLA inserts the gradient all-reduce (and the BatchNorm
+global-batch reductions) as ICI collectives automatically -- no hand-written
+communication, and BN statistics keep the reference's global-batch
+semantics at any device count.
+
+The mesh is built with a (data, model) axis pair so a tensor-parallel axis
+can be added later without changing call sites; 'model' stays size 1 for
+this workload (largest matmul is 1024x6144 -- nothing to shard).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              data_parallel: Optional[int] = None) -> Mesh:
+    """1-D data-parallel mesh (model axis kept at size 1 for future TP)."""
+    if devices is None:
+        devices = jax.devices()
+    if data_parallel is None:
+        data_parallel = len(devices)
+    devices = np.asarray(devices[:data_parallel]).reshape(data_parallel, 1)
+    return Mesh(devices, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: jax.Array) -> jax.Array:
+    return jax.device_put(batch, batch_sharding(mesh))
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params / train state) across the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def check_batch_divisible(batch_size: int, mesh: Mesh) -> None:
+    n = mesh.shape[DATA_AXIS]
+    if batch_size % n != 0:
+        raise ValueError(
+            f"batch_size={batch_size} must be divisible by the "
+            f"data-parallel degree {n}"
+        )

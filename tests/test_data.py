@@ -1,0 +1,136 @@
+"""Data layer tests: loader semantics, fast native IO, pipeline, fixture.
+
+Covers the reference loader's observable behavior (part_dataset.py): split
+selection, category filtering, normalization, resample-with-replacement,
+caching, rotation augmentation -- against the synthetic on-disk fixture
+(SURVEY.md section 4 item 6).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from pointnet_autoencoder_tpu.data import fastio, synthetic
+from pointnet_autoencoder_tpu.data.pipeline import BatchPipeline
+from pointnet_autoencoder_tpu.data.shapenet_part import (
+    PartDataset,
+    pc_normalize,
+    rotate_point_cloud,
+)
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("shapenet_fixture")
+    return synthetic.write_fixture(str(root), shapes_per_category=12,
+                                  points_per_shape=96, seed=0)
+
+
+def test_fixture_layout(fixture_root):
+    assert os.path.exists(os.path.join(fixture_root,
+                                       "synsetoffset2category.txt"))
+    assert os.path.exists(os.path.join(
+        fixture_root, "train_test_split", "shuffled_train_file_list.json"))
+
+
+def test_splits_partition_dataset(fixture_root):
+    sizes = {s: len(PartDataset(fixture_root, npoints=32, split=s))
+             for s in ("train", "val", "test", "trainval")}
+    assert sizes["trainval"] == sizes["train"] + sizes["val"]
+    assert sizes["train"] + sizes["val"] + sizes["test"] == 36
+    assert sizes["test"] > 0
+
+
+def test_class_choice_filters(fixture_root):
+    all_ds = PartDataset(fixture_root, npoints=32, split="trainval")
+    chair = PartDataset(fixture_root, npoints=32, split="trainval",
+                        class_choice=["Chair"])
+    assert 0 < len(chair) < len(all_ds)
+    with pytest.raises(ValueError):
+        PartDataset(fixture_root, npoints=32, class_choice=["NotACategory"])
+
+
+def test_getitem_contract(fixture_root):
+    ds = PartDataset(fixture_root, npoints=48, split="train", seed=1)
+    pts, seg = ds[0]
+    assert pts.shape == (48, 3) and pts.dtype == np.float32
+    assert seg.shape == (48,) and seg.dtype == np.int64
+    assert seg.min() >= 0  # on-disk labels are 1-based; loader shifts to 0
+    # Normalized into the unit sphere.
+    assert np.max(np.linalg.norm(pts - pts.mean(0), axis=1)) <= 1.5
+    # Fresh resample every access (with-replacement randomness).
+    pts2, _ = ds[0]
+    assert not np.array_equal(pts, pts2)
+
+
+def test_classification_mode(fixture_root):
+    ds = PartDataset(fixture_root, npoints=16, split="train",
+                     classification=True)
+    pts, cls = ds[0]
+    assert cls.shape == (1,) and cls.dtype == np.int32
+
+
+def test_pc_normalize():
+    rng = np.random.RandomState(0)
+    pc = rng.randn(100, 3) * 7 + 3
+    out = pc_normalize(pc)
+    np.testing.assert_allclose(out.mean(0), 0, atol=1e-6)
+    np.testing.assert_allclose(np.max(np.linalg.norm(out, axis=1)), 1.0,
+                               rtol=1e-6)
+
+
+def test_rotation_preserves_norms_and_y():
+    rng = np.random.RandomState(0)
+    batch = rng.randn(4, 50, 3).astype(np.float32)
+    rot = rotate_point_cloud(batch, np.random.default_rng(0))
+    # Y (up axis) unchanged; xz-norm preserved per point.
+    np.testing.assert_allclose(rot[..., 1], batch[..., 1], atol=1e-5)
+    np.testing.assert_allclose(
+        np.hypot(rot[..., 0], rot[..., 2]),
+        np.hypot(batch[..., 0], batch[..., 2]), atol=1e-4,
+    )
+    # Different shapes get different angles.
+    a0 = rot[0] - batch[0]
+    a1 = rot[1] - batch[1]
+    assert not np.allclose(a0, a1)
+
+
+def test_native_fastio_matches_numpy(fixture_root, tmp_path):
+    if not fastio.native_available():
+        pytest.skip("native fastio not built")
+    ds = PartDataset(fixture_root, npoints=16, split="train")
+    _, pts_path, seg_path = ds.datapath[0]
+    np.testing.assert_allclose(
+        fastio.load_pts(pts_path),
+        np.loadtxt(pts_path).astype(np.float32).reshape(-1, 3), rtol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        fastio.load_seg(seg_path), np.loadtxt(seg_path).astype(np.int64)
+    )
+    # Robustness probes: blank lines, trailing whitespace, scientific notation.
+    p = tmp_path / "odd.pts"
+    p.write_text("1.0 2.0 3e-1\n\n  4.5\t5.5 6.5  \n")
+    np.testing.assert_allclose(
+        fastio.load_pts(str(p)),
+        np.array([[1.0, 2.0, 0.3], [4.5, 5.5, 6.5]], np.float32),
+    )
+
+
+def test_pipeline_batches(fixture_root):
+    ds = PartDataset(fixture_root, npoints=32, split="trainval", seed=0)
+    pipe = BatchPipeline(ds, batch_size=8, rotate=True, seed=0)
+    batches = list(pipe.epoch())
+    assert len(batches) == len(ds) // 8 == len(pipe)
+    assert all(b.shape == (8, 32, 3) for b in batches)
+    assert str(batches[0].dtype) == "float32"
+    # Shuffle differs between epochs.
+    b2 = list(pipe.epoch())
+    assert not np.allclose(np.asarray(batches[0]), np.asarray(b2[0]))
+
+
+def test_pipeline_eval_mode_deterministic_order(fixture_root):
+    ds = PartDataset(fixture_root, npoints=32, split="test", seed=7)
+    pipe = BatchPipeline(ds, batch_size=4, rotate=False, shuffle=False)
+    n1 = list(pipe.epoch())
+    assert len(n1) == len(ds) // 4
