@@ -1,0 +1,86 @@
+"""Benchmark: flagship training-step throughput (shapes/sec/chip).
+
+Workload: the reference's headline config (train.py defaults) -- 'model'
+(PointNet encoder + FC decoder + Chamfer x100 loss), batch 32, 2048 points
+-- as the full jitted+donated training step (forward, Chamfer loss via the
+Pallas kernel, backward, Adam, BN stat update) on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); the baseline
+used here is a documented ESTIMATE of the reference stack's throughput --
+300 shapes/sec for TF-1.4 on its CUDA-8-era GPU (graph session with
+feed_dict, no input prefetch; consistent with the ~1.9 GFLOP/shape train
+cost at the utilization such stacks achieved). Revisit if a measured
+reference number ever lands.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+BASELINE_SHAPES_PER_SEC = 300.0  # estimated reference GPU throughput
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from pointnet_autoencoder_tpu.models.registry import get_model_spec
+    from pointnet_autoencoder_tpu.parallel import mesh as meshlib
+    from pointnet_autoencoder_tpu.train import schedules
+    from pointnet_autoencoder_tpu.train.loop import make_step_fns
+    from pointnet_autoencoder_tpu.train.state import (
+        TrainState,
+        make_optimizer,
+    )
+
+    batch_size, num_point = 32, 2048
+    spec = get_model_spec("model")
+    model, variables = spec.init_variables(jax.random.PRNGKey(0), num_point)
+    lr = schedules.learning_rate_schedule(0.001, 0.7, batch_size, 200000)
+    bn = schedules.bn_momentum_schedule(batch_size, 200000)
+    tx = make_optimizer("adam", lr)
+
+    mesh = meshlib.make_mesh()
+    state = meshlib.replicate(mesh, TrainState.create(variables, tx))
+    train_step, _ = make_step_fns(model, spec, tx, bn, lr)
+    step = jax.jit(train_step, donate_argnums=(0,))
+
+    # Two on-device batches, alternated so no result is trivially cached.
+    batches = [
+        jax.device_put(
+            jax.random.normal(jax.random.PRNGKey(i),
+                              (batch_size, num_point, 3), jnp.float32),
+            meshlib.batch_sharding(mesh),
+        )
+        for i in range(2)
+    ]
+
+    # Warmup/compile.
+    for i in range(3):
+        state, metrics = step(state, batches[i % 2])
+    jax.block_until_ready(metrics["loss"])
+
+    iters = 50
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, batches[i % 2])
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    n_chips = len(jax.devices())
+    shapes_per_sec_per_chip = batch_size * iters / dt / n_chips
+    print(json.dumps({
+        "metric": "train_throughput_model_b32_n2048",
+        "value": round(shapes_per_sec_per_chip, 2),
+        "unit": "shapes/sec/chip",
+        "vs_baseline": round(
+            shapes_per_sec_per_chip / BASELINE_SHAPES_PER_SEC, 3
+        ),
+    }))
+
+
+if __name__ == "__main__":
+    main()

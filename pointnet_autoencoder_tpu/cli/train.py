@@ -1,0 +1,105 @@
+"""Training CLI: flag-for-flag surface of the reference's train.py.
+
+    python -m pointnet_autoencoder_tpu.cli.train \
+        --model model --category Chair --no_rotation
+
+Reference flags preserved (train.py:20-34); --gpu is accepted and mapped to
+a device index for compatibility. TPU-build additions: --data_path,
+--resume, --seed, --data_parallel, --bf16, --profile_dir, --lr_floor.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from pointnet_autoencoder_tpu.config import TrainConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    d = TrainConfig()
+    p.add_argument("--gpu", type=int, default=0,
+                   help="Accelerator index to use [default: 0]")
+    p.add_argument("--model", default=d.model,
+                   help="Model name [default: model]")
+    p.add_argument("--category", default=None,
+                   help="Which single class to train on [default: None]")
+    p.add_argument("--log_dir", default=d.log_dir,
+                   help="Log dir [default: log]")
+    p.add_argument("--num_point", type=int, default=d.num_point,
+                   help="Point Number [default: 2048]")
+    p.add_argument("--max_epoch", type=int, default=d.max_epoch,
+                   help="Epoch to run [default: 201]")
+    p.add_argument("--batch_size", type=int, default=d.batch_size,
+                   help="Batch Size during training [default: 32]")
+    p.add_argument("--learning_rate", type=float, default=d.learning_rate,
+                   help="Initial learning rate [default: 0.001]")
+    p.add_argument("--momentum", type=float, default=d.momentum,
+                   help="Momentum for the momentum optimizer [default: 0.9]")
+    p.add_argument("--optimizer", default=d.optimizer,
+                   help="adam or momentum [default: adam]")
+    p.add_argument("--decay_step", type=int, default=d.decay_step,
+                   help="Decay step for lr decay [default: 200000]")
+    p.add_argument("--decay_rate", type=float, default=d.decay_rate,
+                   help="Decay rate for lr decay [default: 0.7]")
+    p.add_argument("--no_rotation", action="store_true",
+                   help="Disable random rotation during training.")
+    # TPU-build additions
+    p.add_argument("--data_path", default=d.data_path,
+                   help="ShapeNetPart root directory")
+    p.add_argument("--resume", action="store_true",
+                   help="Resume from the latest checkpoint in log_dir")
+    p.add_argument("--seed", type=int, default=d.seed)
+    p.add_argument("--data_parallel", type=int, default=None,
+                   help="Number of devices for data parallelism "
+                        "[default: all]")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 matmuls in the network")
+    p.add_argument("--profile_dir", default=None,
+                   help="Write a jax.profiler trace of the first epoch here")
+    p.add_argument("--lr_floor", type=float, default=None,
+                   help="Optional LR clamp (the reference intended 1e-5 but "
+                        "the clip is dead code; default preserves published "
+                        "behavior: no floor)")
+    p.add_argument("--log_every", type=int, default=d.log_every)
+    return p
+
+
+def config_from_args(args) -> TrainConfig:
+    return TrainConfig(
+        model=args.model, category=args.category, log_dir=args.log_dir,
+        num_point=args.num_point, max_epoch=args.max_epoch,
+        batch_size=args.batch_size, learning_rate=args.learning_rate,
+        momentum=args.momentum, optimizer=args.optimizer,
+        decay_step=args.decay_step, decay_rate=args.decay_rate,
+        no_rotation=args.no_rotation, data_path=args.data_path,
+        resume=args.resume, seed=args.seed,
+        data_parallel=args.data_parallel, bf16=args.bf16,
+        profile_dir=args.profile_dir, lr_floor=args.lr_floor,
+        log_every=args.log_every,
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    config = config_from_args(args)
+
+    # Import jax lazily so --help works without initializing a backend.
+    from pointnet_autoencoder_tpu.csrc.build import ensure_built
+    from pointnet_autoencoder_tpu.train.logging import Logger
+    from pointnet_autoencoder_tpu.train.loop import Trainer
+
+    ensure_built()  # native fastio, best-effort
+    logger = Logger(config.log_dir)
+    logger.log(f"pid: {os.getpid()}")
+    logger.log(config.to_json())
+    trainer = Trainer(config, logger=logger)
+    best = trainer.train()
+    logger.log(f"done; best eval loss {best:.6f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,61 @@
+"""Training/eval configuration.
+
+One dataclass behind the CLI; field names and defaults mirror the reference
+flags (train.py:20-34, test.py:19-26) so invocations are drop-in
+compatible. Fields marked [new] are TPU-build additions (resume, profiling,
+mixed precision, data-parallel degree) that default to reference behavior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    model: str = "model"
+    category: Optional[str] = None
+    log_dir: str = "log"
+    num_point: int = 2048
+    max_epoch: int = 201
+    batch_size: int = 32
+    learning_rate: float = 0.001
+    momentum: float = 0.9
+    optimizer: str = "adam"
+    decay_step: int = 200000
+    decay_rate: float = 0.7
+    no_rotation: bool = False
+    data_path: str = "data/shapenetcore_partanno_segmentation_benchmark_v0"
+
+    # [new] TPU-build extensions
+    resume: bool = False          # continue from log_dir/model.ckpt
+    seed: int = 0                 # host-side data/init seed
+    data_parallel: Optional[int] = None  # devices to use; None = all
+    bf16: bool = False            # bfloat16 matmuls in the network
+    profile_dir: Optional[str] = None    # jax.profiler trace output
+    lr_floor: Optional[float] = None     # reference's intended-but-dead clamp
+    eval_only: bool = False
+    log_every: int = 10           # batches between running-mean log lines
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "TrainConfig":
+        return cls(**json.loads(text))
+
+
+@dataclasses.dataclass
+class TestConfig:
+    model: str = "model"
+    model_path: str = "log/model.ckpt"
+    category: Optional[str] = None
+    num_point: int = 2048
+    num_group: int = 1
+    data_path: str = "data/shapenetcore_partanno_segmentation_benchmark_v0"
+    out_dir: Optional[str] = None   # write rendered PNGs here (headless)
+    interactive: bool = False       # opencv viewer when a display exists
+    num_shapes: Optional[int] = None
+    seed: int = 0

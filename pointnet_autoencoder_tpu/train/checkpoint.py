@@ -1,0 +1,81 @@
+"""Checkpointing: orbax-backed, with the reference's two-tier policy.
+
+Policy (train.py:160-168): save ``best_model_epoch_NNN`` whenever the eval
+loss improves, overwrite ``model.ckpt`` every 10 epochs. Same directory
+names, orbax format. Unlike the reference (which can only restore in
+test.py), training is resumable: the checkpoint carries params, BN moving
+stats, optimizer state, step, epoch, and best loss.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, log_dir: str):
+        self.log_dir = os.path.abspath(log_dir)
+        os.makedirs(self.log_dir, exist_ok=True)
+        self._ckpt = ocp.StandardCheckpointer()
+
+    # -- save ---------------------------------------------------------------
+
+    def _save(self, name: str, tree: Any) -> str:
+        path = os.path.join(self.log_dir, name)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckpt.save(path, tree)
+        self._ckpt.wait_until_finished()
+        # Pointer to the most recently written checkpoint, so resume picks
+        # the newest regardless of which policy tier wrote it.
+        with open(os.path.join(self.log_dir, "LATEST"), "w") as f:
+            f.write(name)
+        return path
+
+    def save_best(self, epoch: int, tree: Any) -> str:
+        return self._save(f"best_model_epoch_{epoch:03d}.ckpt", tree)
+
+    def save_periodic(self, tree: Any) -> str:
+        return self._save("model.ckpt", tree)
+
+    # -- restore ------------------------------------------------------------
+
+    def restore(self, path: str, abstract_tree: Any) -> Any:
+        """Restore a checkpoint given a matching abstract pytree (shapes and
+        dtypes; build one with ``jax.eval_shape`` or from a fresh state)."""
+        abstract = jax.tree_util.tree_map(
+            ocp.utils.to_shape_dtype_struct, abstract_tree
+        )
+        return self._ckpt.restore(os.path.abspath(path), abstract)
+
+    def latest(self) -> Optional[str]:
+        """Most recently *written* checkpoint in log_dir (via the LATEST
+        pointer); falls back to the highest-numbered best_model_epoch_*,
+        then model.ckpt, for directories written by older runs."""
+        pointer = os.path.join(self.log_dir, "LATEST")
+        if os.path.exists(pointer):
+            with open(pointer) as f:
+                path = os.path.join(self.log_dir, f.read().strip())
+            if os.path.isdir(path):
+                return path
+        best = -1
+        best_path = None
+        if os.path.isdir(self.log_dir):
+            for entry in os.listdir(self.log_dir):
+                m = re.fullmatch(r"best_model_epoch_(\d+)\.ckpt", entry)
+                if m and int(m.group(1)) > best:
+                    best = int(m.group(1))
+                    best_path = os.path.join(self.log_dir, entry)
+        if best_path is not None:
+            return best_path
+        periodic = os.path.join(self.log_dir, "model.ckpt")
+        return periodic if os.path.isdir(periodic) else None
+
+    def close(self):
+        self._ckpt.close()

@@ -1,0 +1,213 @@
+"""Point-cloud rendering: offline z-buffer ball splatting.
+
+Fills the role of the reference's viewer stack (utils/show3d_balls.py +
+render_balls_so.cpp): orthographic projection with mouse-style x/y rotation
+angles, depth-shaded sphere splats, z-buffer occlusion. Redesigned for
+headless TPU pods: the primary API renders to a numpy image / PNG file; an
+interactive OpenCV loop is provided only when cv2 is importable.
+
+Rasterization runs in native C++ (csrc/render_balls.cpp via ctypes) with a
+pure-numpy fallback.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _find_lib():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, "csrc", "libpcae_render.so")
+    if os.path.exists(path):
+        try:
+            lib = ctypes.CDLL(path)
+            lib.render_spheres.restype = None
+            lib.render_spheres.argtypes = [
+                ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ]
+            _LIB = lib
+        except OSError:
+            _LIB = None
+    return _LIB
+
+
+def native_available() -> bool:
+    return _find_lib() is not None
+
+
+def _rotation(xangle: float, yangle: float) -> np.ndarray:
+    cx, sx = np.cos(xangle), np.sin(xangle)
+    cy, sy = np.cos(yangle), np.sin(yangle)
+    rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]], np.float32)
+    ry = np.array([[cy, 0, -sy], [0, 1, 0], [sy, 0, cy]], np.float32)
+    return rx @ ry
+
+
+def project(xyz: np.ndarray, size: int, xangle: float = 0.0,
+            yangle: float = 0.0, zoom: float = 1.0) -> np.ndarray:
+    """Center/scale a cloud and project to pixel coordinates (x, y, depth)."""
+    pts = np.asarray(xyz, np.float32)
+    pts = pts - pts.mean(axis=0)
+    radius = np.max(np.linalg.norm(pts, axis=1)) + 1e-9
+    pts = pts * (size / (radius * 2.2)) * zoom
+    pts = pts @ _rotation(xangle, yangle).T
+    out = np.empty_like(pts)
+    out[:, 0] = pts[:, 0] + size / 2.0  # x -> column
+    out[:, 1] = pts[:, 1] + size / 2.0  # y -> row
+    out[:, 2] = pts[:, 2]               # depth (larger = nearer)
+    return out
+
+
+def _render_numpy(img, proj, rgb, radius):
+    h, w, _ = img.shape
+    r2 = radius * radius
+    dy, dx = np.mgrid[-radius:radius + 1, -radius:radius + 1]
+    mask = (dx * dx + dy * dy) < r2
+    dx, dy = dx[mask], dy[mask]
+    dz = np.sqrt(r2 - dx * dx - dy * dy).astype(np.float32)
+    shade = dz / radius
+    zmin, zmax = proj[:, 2].min(), proj[:, 2].max()
+    span = max(zmax - zmin, 1e-6)
+    zbuf = np.full((h, w), -np.inf, np.float32)
+    # Paint far-to-near; later (nearer) points overwrite.
+    order = np.argsort(proj[:, 2])
+    for i in order:
+        x = int(round(proj[i, 0])) + dx
+        y = int(round(proj[i, 1])) + dy
+        z = proj[i, 2] + dz
+        ok = (x >= 0) & (x < w) & (y >= 0) & (y < h)
+        x, y, zv, sh = x[ok], y[ok], z[ok], shade[ok]
+        upd = zbuf[y, x] < zv
+        x, y, zv, sh = x[upd], y[upd], zv[upd], sh[upd]
+        zbuf[y, x] = zv
+        gain = (0.3 + 0.7 * (proj[i, 2] - zmin) / span) * sh
+        img[y, x] = np.minimum(255.0, rgb[i][None, :] * gain[:, None])
+    return img
+
+
+def render_points(xyz: np.ndarray, colors: Optional[np.ndarray] = None,
+                  size: int = 800, ballradius: int = 10,
+                  background: Tuple[int, int, int] = (0, 0, 0),
+                  xangle: float = 0.0, yangle: float = 0.0,
+                  zoom: float = 1.0, normalizecolor: bool = True
+                  ) -> np.ndarray:
+    """Render a cloud to an (size, size, 3) uint8 RGB image."""
+    xyz = np.asarray(xyz, np.float32)
+    n = xyz.shape[0]
+    if colors is None:
+        rgb = np.full((n, 3), 255.0, np.float32)
+    else:
+        rgb = np.asarray(colors, np.float32).reshape(n, 3).copy()
+        if normalizecolor:
+            rgb *= 255.0 / (rgb.max() + 1e-14)
+    img = np.empty((size, size, 3), np.uint8)
+    img[:] = np.asarray(background, np.uint8)
+    proj = project(xyz, size, xangle, yangle, zoom)
+    lib = _find_lib()
+    if lib is None:
+        return _render_numpy(img, proj, rgb, max(int(ballradius), 1))
+    proj_c = np.ascontiguousarray(proj, np.float32)
+    rgb_c = np.ascontiguousarray(rgb, np.float32)
+    lib.render_spheres(
+        size, size, img.ctypes.data_as(ctypes.c_void_p), n,
+        proj_c.ctypes.data_as(ctypes.c_void_p),
+        rgb_c.ctypes.data_as(ctypes.c_void_p), int(ballradius),
+    )
+    return img
+
+
+def save_image(img: np.ndarray, path: str) -> None:
+    """PNG via PIL when available, else PPM (pure python)."""
+    try:
+        from PIL import Image  # type: ignore
+
+        Image.fromarray(img).save(path)
+        return
+    except Exception:
+        pass
+    if not path.endswith(".ppm"):
+        path = os.path.splitext(path)[0] + ".ppm"
+    with open(path, "wb") as f:
+        f.write(b"P6\n%d %d\n255\n" % (img.shape[1], img.shape[0]))
+        f.write(np.ascontiguousarray(img).tobytes())
+
+
+def group_colors(num_point: int, num_group: int,
+                 rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Per-point colors for --num_group visualization of hierarchical
+    decoders (test.py:86-93): contiguous blocks of num_point/num_group
+    points share a random color."""
+    rng = rng or np.random.default_rng(0)
+    colors = rng.random((num_group, 3)).astype(np.float32)
+    per = num_point // num_group
+    out = np.zeros((num_point, 3), np.float32)
+    for g in range(num_group):
+        out[g * per:(g + 1) * per] = colors[g]
+    return out
+
+
+def showpoints(xyz: np.ndarray, c_gt: Optional[np.ndarray] = None,
+               c_pred: Optional[np.ndarray] = None, ballradius: int = 10,
+               **kwargs):
+    """Interactive viewer (requires cv2 + display): drag to rotate,
+    n/m zoom, r reset, s save, q quit. Headless environments should use
+    render_points/save_image instead."""
+    try:
+        import cv2  # type: ignore
+    except ImportError as e:
+        raise RuntimeError(
+            "showpoints needs opencv; use render_points()/save_image() "
+            "for headless rendering"
+        ) from e
+
+    state = {"x": 0.5, "y": 0.5, "zoom": 1.0, "changed": True}
+
+    def on_mouse(event, mx, my, flags, param):
+        state["x"], state["y"] = mx / 800.0, my / 800.0
+        state["changed"] = True
+
+    cv2.namedWindow("pcae")
+    cv2.setMouseCallback("pcae", on_mouse)
+    colors = c_gt
+    while True:
+        if state["changed"]:
+            img = render_points(
+                xyz, colors, ballradius=ballradius,
+                xangle=(state["y"] - 0.5) * np.pi * 1.2,
+                yangle=(state["x"] - 0.5) * np.pi * 1.2,
+                zoom=state["zoom"], **kwargs,
+            )
+            state["changed"] = False
+        cv2.imshow("pcae", img[:, :, ::-1])
+        cmd = cv2.waitKey(10) % 256
+        if cmd == ord("q"):
+            break
+        elif cmd == ord("t"):
+            colors, state["changed"] = c_gt, True
+        elif cmd == ord("p"):
+            colors, state["changed"] = c_pred, True
+        elif cmd == ord("n"):
+            state["zoom"] *= 1.1
+            state["changed"] = True
+        elif cmd == ord("m"):
+            state["zoom"] /= 1.1
+            state["changed"] = True
+        elif cmd == ord("r"):
+            state["zoom"] = 1.0
+            state["changed"] = True
+        elif cmd == ord("s"):
+            save_image(img, "pcae_view.png")
+    cv2.destroyWindow("pcae")
+    return cmd

@@ -17,3 +17,10 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The host environment may pin JAX_PLATFORMS to a hardware plugin (e.g. the
+# axon TPU tunnel) in a way that survives the env override above; force the
+# config knob too, before any backend initialization.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

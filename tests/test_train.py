@@ -1,0 +1,107 @@
+"""Training runtime tests: schedules, checkpointing, end-to-end Trainer.
+
+Sizes are deliberately tiny: the CI host is a single CPU core and model
+compilation dominates.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointnet_autoencoder_tpu.config import TrainConfig
+from pointnet_autoencoder_tpu.data import synthetic
+from pointnet_autoencoder_tpu.data.shapenet_part import PartDataset
+from pointnet_autoencoder_tpu.train import schedules
+from pointnet_autoencoder_tpu.train.checkpoint import CheckpointManager
+from pointnet_autoencoder_tpu.train.state import make_optimizer
+
+
+def test_lr_schedule_staircase_semantics():
+    # base 0.001, rate 0.7, B=32, decay_step 200000 (reference defaults).
+    fn = schedules.learning_rate_schedule(0.001, 0.7, 32, 200000)
+    assert float(fn(jnp.asarray(0))) == pytest.approx(1e-3)
+    assert float(fn(jnp.asarray(6249))) == pytest.approx(1e-3)  # < 200k samples
+    assert float(fn(jnp.asarray(6250))) == pytest.approx(7e-4)  # crosses 200k
+    assert float(fn(jnp.asarray(12500))) == pytest.approx(4.9e-4, rel=1e-4)
+    # Published behavior: no floor (the reference clip is dead code).
+    deep = float(fn(jnp.asarray(10_000_000)))
+    assert deep < 1e-5
+    floored = schedules.learning_rate_schedule(0.001, 0.7, 32, 200000,
+                                               floor=1e-5)
+    assert float(floored(jnp.asarray(10_000_000))) == pytest.approx(1e-5)
+
+
+def test_bn_momentum_schedule():
+    fn = schedules.bn_momentum_schedule(32, 200000)
+    assert float(fn(jnp.asarray(0))) == pytest.approx(0.5)       # 1 - 0.5
+    assert float(fn(jnp.asarray(6250))) == pytest.approx(0.75)   # 1 - 0.25
+    assert float(fn(jnp.asarray(10_000_000))) == pytest.approx(0.99)  # clip
+
+
+def test_optimizer_selection():
+    lr = lambda s: 1e-3  # noqa: E731
+    make_optimizer("adam", lr)
+    make_optimizer("momentum", lr, momentum=0.9)
+    with pytest.raises(ValueError):
+        make_optimizer("sgdfoo", lr)
+
+
+def test_checkpoint_roundtrip_and_latest(tmp_path):
+    mgr = CheckpointManager(str(tmp_path))
+    tree = {
+        "state": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+        "epoch": 3,
+        "best_loss": 0.5,
+    }
+    p1 = mgr.save_periodic(tree)
+    assert mgr.latest() == p1
+    tree2 = dict(tree, epoch=7)
+    p2 = mgr.save_best(7, tree2)
+    # LATEST pointer tracks the most recently written checkpoint.
+    assert mgr.latest() == p2
+    restored = mgr.restore(p2, tree)
+    assert restored["epoch"] == 7
+    np.testing.assert_array_equal(restored["state"]["w"], tree["state"]["w"])
+    # Overwriting periodic works (the reference overwrites model.ckpt).
+    p3 = mgr.save_periodic(dict(tree, epoch=9))
+    assert mgr.latest() == p3
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    # 48 shapes/category -> 8 test shapes per category, so the test split
+    # fills at least one batch at batch_size=8.
+    root = tmp_path_factory.mktemp("shapenet")
+    return synthetic.write_fixture(str(root), shapes_per_category=48,
+                                  points_per_shape=80, seed=0)
+
+
+def test_trainer_end_to_end(fixture_root, tmp_path):
+    """Two epochs of the real Trainer on the fixture: loss drops, logs and
+    checkpoints appear, resume restores."""
+    log_dir = str(tmp_path / "log")
+    cfg = TrainConfig(
+        model="model", category="Chair", log_dir=log_dir, num_point=64,
+        max_epoch=2, batch_size=8, data_path=fixture_root, seed=0,
+        log_every=1,
+    )
+    from pointnet_autoencoder_tpu.train.loop import Trainer
+
+    trainer = Trainer(cfg)
+    best = trainer.train()
+    assert np.isfinite(best)
+    assert os.path.exists(os.path.join(log_dir, "log_train.txt"))
+    assert os.path.exists(os.path.join(log_dir, "scalars.jsonl"))
+    assert os.path.exists(os.path.join(log_dir, "config.json"))
+    assert trainer.ckpt.latest() is not None
+    step_after = int(jax.device_get(trainer.state.step))
+    assert step_after == 2 * len(trainer.train_pipe)
+
+    # Resume: a new Trainer picks up epoch and step.
+    cfg2 = TrainConfig(**{**cfg.__dict__, "max_epoch": 3, "resume": True})
+    trainer2 = Trainer(cfg2)
+    assert trainer2.start_epoch >= 1
+    assert np.isfinite(trainer2.best_loss)
