@@ -49,6 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-build additions
     p.add_argument("--data_path", default=d.data_path,
                    help="ShapeNetPart root directory")
+    p.add_argument("--input_mode", default=d.input_mode,
+                   choices=["device", "host"],
+                   help="'device': HBM-resident dataset with on-device "
+                        "resample/rotation (fast); 'host': reference-style "
+                        "host batch assembly [default: device]")
     p.add_argument("--resume", action="store_true",
                    help="Resume from the latest checkpoint in log_dir")
     p.add_argument("--seed", type=int, default=d.seed)
@@ -75,7 +80,7 @@ def config_from_args(args) -> TrainConfig:
         momentum=args.momentum, optimizer=args.optimizer,
         decay_step=args.decay_step, decay_rate=args.decay_rate,
         no_rotation=args.no_rotation, data_path=args.data_path,
-        resume=args.resume, seed=args.seed,
+        input_mode=args.input_mode, resume=args.resume, seed=args.seed,
         data_parallel=args.data_parallel, bf16=args.bf16,
         profile_dir=args.profile_dir, lr_floor=args.lr_floor,
         log_every=args.log_every,

@@ -30,6 +30,9 @@ class TrainConfig:
     data_path: str = "data/shapenetcore_partanno_segmentation_benchmark_v0"
 
     # [new] TPU-build extensions
+    input_mode: str = "device"    # "device": dataset resident in HBM,
+                                  # resample+rotate on-device (fast path);
+                                  # "host": reference-style host assembly
     resume: bool = False          # continue from log_dir/model.ckpt
     seed: int = 0                 # host-side data/init seed
     data_parallel: Optional[int] = None  # devices to use; None = all

@@ -26,6 +26,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from pointnet_autoencoder_tpu.config import TrainConfig
+from pointnet_autoencoder_tpu.data.device_pipeline import (
+    DeviceBatchIterator,
+    DeviceDataset,
+    assemble_batch,
+)
 from pointnet_autoencoder_tpu.data.pipeline import BatchPipeline
 from pointnet_autoencoder_tpu.data.shapenet_part import PartDataset
 from pointnet_autoencoder_tpu.models.autoencoder import ModelSpec
@@ -113,15 +118,34 @@ class Trainer:
         )
 
         batch_sharding = meshlib.batch_sharding(self.mesh)
-        self.train_pipe = BatchPipeline(
-            self.train_dataset, config.batch_size,
-            rotate=not config.no_rotation, shuffle=True,
-            sharding=batch_sharding, seed=config.seed,
-        )
-        self.eval_pipe = BatchPipeline(
-            self.test_dataset, config.batch_size, rotate=False,
-            shuffle=False, sharding=batch_sharding, seed=config.seed,
-        )
+        self._batch_sharding = batch_sharding
+        self.input_mode = config.input_mode
+        if self.input_mode == "device":
+            # HBM-resident dataset: resample+rotate on-device; per step the
+            # host transfers only a (B,) index vector and a PRNG key.
+            replicated = meshlib.replicated(self.mesh)
+            self.train_device = DeviceDataset(self.train_dataset,
+                                              sharding=replicated)
+            self.eval_device = DeviceDataset(self.test_dataset,
+                                             sharding=replicated)
+            self.train_pipe = DeviceBatchIterator(
+                self.train_device.num_shapes, config.batch_size,
+                shuffle=True, seed=config.seed,
+            )
+            self.eval_pipe = DeviceBatchIterator(
+                self.eval_device.num_shapes, config.batch_size,
+                shuffle=False, seed=config.seed + 1,
+            )
+        else:
+            self.train_pipe = BatchPipeline(
+                self.train_dataset, config.batch_size,
+                rotate=not config.no_rotation, shuffle=True,
+                sharding=batch_sharding, seed=config.seed,
+            )
+            self.eval_pipe = BatchPipeline(
+                self.test_dataset, config.batch_size, rotate=False,
+                shuffle=False, sharding=batch_sharding, seed=config.seed,
+            )
 
         self.spec = get_model_spec(config.model)
         dtype = jnp.bfloat16 if config.bf16 else jnp.float32
@@ -143,6 +167,27 @@ class Trainer:
         train_step, eval_step = make_step_fns(
             self.model, self.spec, self.tx, bn, lr
         )
+        if self.input_mode == "device":
+            num_point = config.num_point
+            rotate = not config.no_rotation
+
+            def device_train_step(state, data, lengths, idxs, key):
+                batch = assemble_batch(data, lengths, idxs, key, num_point,
+                                       rotate)
+                batch = jax.lax.with_sharding_constraint(
+                    batch, batch_sharding)
+                return train_step(state, batch)
+
+            def device_eval_step(state, data, lengths, idxs, key):
+                batch = assemble_batch(data, lengths, idxs, key, num_point,
+                                       rotate=False)
+                batch = jax.lax.with_sharding_constraint(
+                    batch, batch_sharding)
+                return eval_step(state, batch)
+
+            self._device_train_step = jax.jit(device_train_step,
+                                              donate_argnums=(0,))
+            self._device_eval_step = jax.jit(device_eval_step)
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
 
@@ -197,8 +242,15 @@ class Trainer:
         pending = []  # device-resident metric dicts; fetched at log boundaries
         t0 = time.time()
         shapes = 0
-        for batch_idx, batch in enumerate(self.train_pipe.epoch()):
-            self.state, metrics = self._train_step(self.state, batch)
+        for batch_idx, item in enumerate(self.train_pipe.epoch()):
+            if self.input_mode == "device":
+                idxs, key = item
+                self.state, metrics = self._device_train_step(
+                    self.state, self.train_device.data,
+                    self.train_device.lengths, idxs, key,
+                )
+            else:
+                self.state, metrics = self._train_step(self.state, item)
             shapes += cfg.batch_size
             pending.append(metrics)
             if (batch_idx + 1) % cfg.log_every == 0:
@@ -224,8 +276,15 @@ class Trainer:
     def eval_one_epoch(self, epoch: int) -> float:
         log = self.logger
         log.log(f"---- EPOCH {epoch:03d} EVALUATION ----")
-        pending = [self._eval_step(self.state, batch)
-                   for batch in self.eval_pipe.epoch()]
+        if self.input_mode == "device":
+            pending = [
+                self._device_eval_step(self.state, self.eval_device.data,
+                                       self.eval_device.lengths, idxs, key)
+                for idxs, key in self.eval_pipe.epoch()
+            ]
+        else:
+            pending = [self._eval_step(self.state, batch)
+                       for batch in self.eval_pipe.epoch()]
         if not pending:
             log.log("eval skipped: test split smaller than one batch")
             return float("inf")
