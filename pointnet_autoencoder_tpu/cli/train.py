@@ -60,8 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_parallel", type=int, default=None,
                    help="Number of devices for data parallelism "
                         "[default: all]")
-    p.add_argument("--bf16", action="store_true",
-                   help="bfloat16 matmuls in the network")
+    p.add_argument("--bf16", action=argparse.BooleanOptionalAction,
+                   default=d.bf16,
+                   help="bfloat16 matmuls in the network (default on; "
+                        "--no-bf16 restores f32; losses/BN always f32)")
     p.add_argument("--profile_dir", default=None,
                    help="Write a jax.profiler trace of the first epoch here")
     p.add_argument("--lr_floor", type=float, default=None,

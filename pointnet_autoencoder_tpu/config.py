@@ -36,7 +36,10 @@ class TrainConfig:
     resume: bool = False          # continue from log_dir/model.ckpt
     seed: int = 0                 # host-side data/init seed
     data_parallel: Optional[int] = None  # devices to use; None = all
-    bf16: bool = False            # bfloat16 matmuls in the network
+    bf16: bool = True             # bfloat16 matmuls in the network (36%
+                                  # faster; converges identically to f32 --
+                                  # see docs/ARCHITECTURE.md; --no-bf16
+                                  # restores f32 everywhere)
     profile_dir: Optional[str] = None    # jax.profiler trace output
     lr_floor: Optional[float] = None     # reference's intended-but-dead clamp
     eval_only: bool = False

@@ -158,6 +158,55 @@ class UpConv(nn.Module):
         return x
 
 
+class Conv(nn.Module):
+    """General N-D convolution + optional BN + ReLU.
+
+    Covers the reference layer library's real (non-pointwise) convolutions
+    (tf_util.conv1d:52 / conv2d:120 / conv3d:270). The shipped models only
+    ever use pointwise kernels (see PointMLP), but the layer surface is
+    part of the library contract. kernel_size length sets the rank
+    (1D/2D/3D); channels-last layouts.
+    """
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Optional[Sequence[int]] = None
+    padding: str = "SAME"
+    bn: bool = False
+    activation: Optional[Callable] = nn.relu
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, bn_momentum=0.9) -> jax.Array:
+        x = nn.Conv(
+            self.features, kernel_size=tuple(self.kernel_size),
+            strides=None if self.strides is None else tuple(self.strides),
+            padding=self.padding, kernel_init=glorot,
+            bias_init=nn.initializers.zeros, dtype=self.dtype, name="conv",
+        )(x)
+        if self.bn:
+            x = BatchNorm(name="bn")(x.astype(jnp.float32), train, bn_momentum)
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
+
+
+def max_pool(x, window: Sequence[int], strides: Optional[Sequence[int]] = None,
+             padding: str = "VALID") -> jax.Array:
+    """N-D max pool over the spatial axes of a channels-last tensor
+    (tf_util.max_pool2d:368 / max_pool3d:419). The models' symmetric pool
+    over all points is just jnp.max(axis=1); this is the general form."""
+    return nn.max_pool(x, tuple(window),
+                       strides=tuple(strides or window), padding=padding)
+
+
+def avg_pool(x, window: Sequence[int], strides: Optional[Sequence[int]] = None,
+             padding: str = "VALID") -> jax.Array:
+    """N-D average pool (tf_util.avg_pool2d:393 / avg_pool3d:444)."""
+    return nn.avg_pool(x, tuple(window),
+                       strides=tuple(strides or window), padding=padding)
+
+
 class Dropout(nn.Module):
     """Dropout gated on the train flag (tf_util.dropout:596). Unused by the
     shipped model configs but part of the layer-library surface."""

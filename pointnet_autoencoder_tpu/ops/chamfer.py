@@ -42,6 +42,10 @@ _PAD_COORD = 1e10
 
 
 def _auto_impl() -> str:
+    # NOTE: a matmul-identity (MXU) variant was evaluated and rejected:
+    # Mosaic lowers the f32 cross-term dot to a single-pass bf16 matmul
+    # (~1e-1 absolute d2 error, 10% argmin flips) and the K=3 contraction
+    # wastes the systolic array -- the broadcast VPU kernel is 2.3x faster.
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
@@ -240,7 +244,11 @@ def nn_distance(xyz1: jax.Array, xyz2: jax.Array, impl: str | None = None):
     """
     if impl is None:
         impl = _auto_impl()
-    return _nn_distance(xyz1, xyz2, impl)
+    # Distances are always computed in f32 (the loss path of a possibly-bf16
+    # network); the cast sits outside custom_vjp so autodiff converts the
+    # gradient dtype back automatically.
+    return _nn_distance(xyz1.astype(jnp.float32), xyz2.astype(jnp.float32),
+                        impl)
 
 
 def chamfer_loss(pred: jax.Array, label: jax.Array, impl: str | None = None):

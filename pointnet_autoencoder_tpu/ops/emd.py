@@ -271,7 +271,8 @@ def emd_cost(xyz1: jax.Array, xyz2: jax.Array,
     traffic) or "xla" (dense scan)."""
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    return _emd_cost(xyz1, xyz2, impl)
+    return _emd_cost(xyz1.astype(jnp.float32), xyz2.astype(jnp.float32),
+                     impl)
 
 
 def emd_loss(pred: jax.Array, label: jax.Array,

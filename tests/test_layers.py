@@ -4,7 +4,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pointnet_autoencoder_tpu.nn.layers import FC, BatchNorm, PointMLP, UpConv
+from pointnet_autoencoder_tpu.nn.layers import (
+    FC,
+    BatchNorm,
+    Conv,
+    PointMLP,
+    UpConv,
+    avg_pool,
+    max_pool,
+)
 
 
 def test_batchnorm_train_normalizes_and_updates_moving_stats():
@@ -83,6 +91,25 @@ def test_upconv_geometry_matches_reference_stages():
         x = jnp.zeros((1, h, w, 8))
         y, _ = m.init_with_output(jax.random.PRNGKey(0), x)
         assert y.shape == (1, oh, ow, 4), (k, s, y.shape)
+
+
+def test_general_conv_ranks():
+    x1 = jnp.zeros((2, 16, 4))        # 1D
+    x2 = jnp.zeros((2, 8, 8, 4))      # 2D
+    x3 = jnp.zeros((2, 4, 4, 4, 4))   # 3D
+    for x, k in ((x1, (3,)), (x2, (3, 3)), (x3, (2, 2, 2))):
+        m = Conv(6, k, bn=True)
+        y, _ = m.init_with_output(jax.random.PRNGKey(0), x, True, 0.9)
+        assert y.shape == x.shape[:-1] + (6,)
+
+
+def test_pools():
+    x = jnp.arange(32.0).reshape(1, 4, 4, 2)
+    mx = max_pool(x, (2, 2))
+    av = avg_pool(x, (2, 2))
+    assert mx.shape == av.shape == (1, 2, 2, 2)
+    assert float(mx[0, 0, 0, 0]) == 10.0   # max of {0,2,8,10}
+    assert float(av[0, 0, 0, 0]) == 5.0    # mean of {0,2,8,10}
 
 
 def test_fc_bias_zero_init():
