@@ -269,6 +269,10 @@ class Trainer:
                 step = int(jax.device_get(self.state.step))
                 log.scalars("train", step,
                             {k: v / count for k, v in sums.items()})
+        # One sync so the epoch time reflects device completion, not just
+        # dispatch (block_until_ready is unreliable on tunneled backends).
+        if pending:
+            jax.device_get(pending[-1]["loss"])
         dt = time.time() - t0
         if dt > 0:
             log.log(f"epoch throughput: {shapes / dt:.1f} shapes/sec")
