@@ -71,6 +71,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "the clip is dead code; default preserves published "
                         "behavior: no floor)")
     p.add_argument("--log_every", type=int, default=d.log_every)
+    p.add_argument("--eval_only", action="store_true",
+                   help="Run a single evaluation pass (use with --resume)")
     return p
 
 
@@ -85,7 +87,7 @@ def config_from_args(args) -> TrainConfig:
         input_mode=args.input_mode, resume=args.resume, seed=args.seed,
         data_parallel=args.data_parallel, bf16=args.bf16,
         profile_dir=args.profile_dir, lr_floor=args.lr_floor,
-        log_every=args.log_every,
+        log_every=args.log_every, eval_only=args.eval_only,
     )
 
 

@@ -304,6 +304,10 @@ class Trainer:
 
     def train(self) -> float:
         cfg = self.config
+        if cfg.eval_only:
+            loss = self.eval_one_epoch(self.start_epoch)
+            self.logger.log(f"eval-only mode; eval loss {loss:.6f}")
+            return loss
         profiled = False
         for epoch in range(self.start_epoch, cfg.max_epoch):
             self.logger.log(f"**** EPOCH {epoch:03d} ****")
