@@ -60,9 +60,13 @@ class BatchNorm(nn.Module):
         gamma = self.param("gamma", nn.initializers.ones, (feat,))
 
         if train:
+            # Statistics always in f32; the elementwise upcast fuses into
+            # the reductions, so no f32 copy of a (possibly bf16) activation
+            # is ever materialized.
             axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(x, axis=axes)
-            mean2 = jnp.mean(jnp.square(x), axis=axes)
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=axes)
+            mean2 = jnp.mean(jnp.square(xf), axis=axes)
             if self.axis_name is not None:
                 mean = jax.lax.pmean(mean, self.axis_name)
                 mean2 = jax.lax.pmean(mean2, self.axis_name)
@@ -74,8 +78,11 @@ class BatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
+        # Normalize in the input dtype: y = x*inv + (beta - mean*inv), with
+        # the per-channel affine folded in f32 first.
         inv = jax.lax.rsqrt(var + self.epsilon) * gamma
-        return (x - mean) * inv + beta
+        shift = beta - mean * inv
+        return x * inv.astype(x.dtype) + shift.astype(x.dtype)
 
 
 class PointMLP(nn.Module):
@@ -98,7 +105,7 @@ class PointMLP(nn.Module):
             dtype=self.dtype, name="dense",
         )(x)
         if self.bn:
-            x = BatchNorm(name="bn")(x.astype(jnp.float32), train, bn_momentum)
+            x = BatchNorm(name="bn")(x, train, bn_momentum)
         if self.activation is not None:
             x = self.activation(x)
         return x
@@ -119,7 +126,7 @@ class FC(nn.Module):
             dtype=self.dtype, name="dense",
         )(x)
         if self.bn:
-            x = BatchNorm(name="bn")(x.astype(jnp.float32), train, bn_momentum)
+            x = BatchNorm(name="bn")(x, train, bn_momentum)
         if self.activation is not None:
             x = self.activation(x)
         return x
@@ -152,7 +159,7 @@ class UpConv(nn.Module):
             name="convt",
         )(x)
         if self.bn:
-            x = BatchNorm(name="bn")(x.astype(jnp.float32), train, bn_momentum)
+            x = BatchNorm(name="bn")(x, train, bn_momentum)
         if self.activation is not None:
             x = self.activation(x)
         return x
@@ -185,7 +192,7 @@ class Conv(nn.Module):
             bias_init=nn.initializers.zeros, dtype=self.dtype, name="conv",
         )(x)
         if self.bn:
-            x = BatchNorm(name="bn")(x.astype(jnp.float32), train, bn_momentum)
+            x = BatchNorm(name="bn")(x, train, bn_momentum)
         if self.activation is not None:
             x = self.activation(x)
         return x

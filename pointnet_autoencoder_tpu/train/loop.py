@@ -23,7 +23,7 @@ from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+import optax
 
 from pointnet_autoencoder_tpu.config import TrainConfig
 from pointnet_autoencoder_tpu.data.device_pipeline import (
@@ -64,9 +64,7 @@ def make_step_fns(model, spec: ModelSpec, tx, bn_schedule: Callable,
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (metrics, new_stats)), grads = grad_fn(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree_util.tree_map(
-            lambda p, u: p + u, state.params, updates
-        )
+        new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,
@@ -118,7 +116,6 @@ class Trainer:
         )
 
         batch_sharding = meshlib.batch_sharding(self.mesh)
-        self._batch_sharding = batch_sharding
         self.input_mode = config.input_mode
         if self.input_mode == "device":
             # HBM-resident dataset: resample+rotate on-device; per step the
