@@ -100,7 +100,12 @@ def main(argv=None) -> int:
     from pointnet_autoencoder_tpu.train.logging import Logger
     from pointnet_autoencoder_tpu.train.loop import Trainer
 
+    from pointnet_autoencoder_tpu.parallel.mesh import (
+        initialize_distributed_if_requested,
+    )
+
     ensure_built()  # native fastio, best-effort
+    initialize_distributed_if_requested()
     logger = Logger(config.log_dir)
     logger.log(f"pid: {os.getpid()}")
     logger.log(config.to_json())

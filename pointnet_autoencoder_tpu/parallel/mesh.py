@@ -56,6 +56,24 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def initialize_distributed_if_requested() -> bool:
+    """Multi-host hook: calls jax.distributed.initialize() when the standard
+    coordinator env vars are present (JAX_COORDINATOR_ADDRESS etc.).
+
+    The reference is single-process (SURVEY.md section 2.3) and this
+    workload fits one slice, so multi-host is opt-in only: launch one
+    process per host with the usual JAX cluster env and every mesh built
+    here spans all processes' devices; batches stay sharded over 'data'
+    with ICI/DCN collectives inserted by GSPMD.
+    """
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") is None:
+        return False
+    jax.distributed.initialize()
+    return True
+
+
 def check_batch_divisible(batch_size: int, mesh: Mesh) -> None:
     n = mesh.shape[DATA_AXIS]
     if batch_size % n != 0:

@@ -60,9 +60,20 @@ class Logger:
 
 
 def snapshot_config(log_dir: str, config) -> None:
-    """Record the exact run configuration (the reference snapshots source
-    files into LOG_DIR, train.py:52-53; the config JSON is the equivalent
-    reproducibility artifact here)."""
+    """Record the exact run configuration and model source (the reference
+    snapshots the model file and train.py into LOG_DIR, train.py:52-53)."""
     os.makedirs(log_dir, exist_ok=True)
     with open(os.path.join(log_dir, "config.json"), "w") as f:
         f.write(config.to_json())
+    try:
+        import shutil
+
+        from pointnet_autoencoder_tpu.models import autoencoder, registry
+        from pointnet_autoencoder_tpu.train import loop
+
+        snap = os.path.join(log_dir, "source_snapshot")
+        os.makedirs(snap, exist_ok=True)
+        for mod in (autoencoder, registry, loop):
+            shutil.copy2(mod.__file__, snap)
+    except Exception:
+        pass  # snapshotting is best-effort; never block training
