@@ -53,15 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
-    import jax
-    import jax.numpy as jnp
-
     from pointnet_autoencoder_tpu.csrc.build import ensure_built
     from pointnet_autoencoder_tpu.data.shapenet_part import PartDataset
-    from pointnet_autoencoder_tpu.models.registry import get_model_spec
-    from pointnet_autoencoder_tpu.ops.chamfer import chamfer_loss
-    from pointnet_autoencoder_tpu.train.checkpoint import CheckpointManager
-    from pointnet_autoencoder_tpu.train.state import TrainState, make_optimizer
+    from pointnet_autoencoder_tpu.inference import InferenceSession
     from pointnet_autoencoder_tpu.viz import render
 
     ensure_built()
@@ -71,32 +65,8 @@ def main(argv=None) -> int:
                           seed=args.seed)
     print(len(dataset))
 
-    spec = get_model_spec(args.model)
-    model, variables = spec.init_variables(
-        jax.random.PRNGKey(0), args.num_point, batch_size=1
-    )
-    # Restore: checkpoints carry {state, epoch, best_loss}; only params and
-    # batch_stats matter for inference, but the optimizer state must exist
-    # in the abstract tree to match the stored structure.
-    tx = make_optimizer("adam", lambda s: 1e-3)
-    abstract = {
-        "state": TrainState.create(variables, tx),
-        "epoch": 0,
-        "best_loss": 0.0,
-    }
-    ckpt = CheckpointManager(os.path.dirname(os.path.abspath(args.model_path))
-                             or ".")
-    restored = ckpt.restore(args.model_path, abstract)
-    params = restored["state"].params
-    batch_stats = restored["state"].batch_stats
-
-    @jax.jit
-    def infer(points):
-        pred, _ = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            points, train=False, bn_momentum=0.0,
-        )
-        return pred
+    session = InferenceSession(args.model, args.model_path, args.num_point,
+                               batch_size=1)
 
     out_dir = args.out_dir
     if out_dir is None and not args.interactive:
@@ -116,9 +86,8 @@ def main(argv=None) -> int:
     total_chamfer = 0.0
     for i in range(count):
         ps, _ = dataset[int(indices[i])]
-        pred = np.asarray(infer(jnp.asarray(ps)[None]))[0]
-        cd = float(chamfer_loss(jnp.asarray(pred)[None],
-                                jnp.asarray(ps)[None]))
+        pred = session.reconstruct(ps)
+        cd = float(session.chamfer(pred[None], ps[None])[0])
         total_chamfer += cd
         print(f"shape {i}: chamfer {cd:.6f}")
         if args.interactive:

@@ -1,0 +1,145 @@
+"""Inference sessions: checkpoint -> jitted reconstruction/embedding.
+
+Generalizes the reference's test.py inference path (test.py:37-69: rebuild
+graph, restore Saver, sess.run per batch) into a reusable serving surface:
+one object owns the restored variables and compiled functions; callers feed
+numpy or jax arrays of shape (B, num_point, 3) (or a single (num_point, 3)
+cloud) and get reconstructions, embeddings, and per-shape Chamfer.
+
+Functions are compiled once per batch shape; ragged final batches are
+padded to the compiled batch size and sliced, so looping a whole dataset
+reuses a single executable.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointnet_autoencoder_tpu.models.registry import get_model_spec
+from pointnet_autoencoder_tpu.ops.chamfer import nn_distance
+from pointnet_autoencoder_tpu.train.checkpoint import CheckpointManager
+from pointnet_autoencoder_tpu.train.state import TrainState, make_optimizer
+
+
+class InferenceSession:
+    """Restores a training checkpoint and serves the model.
+
+    Args:
+      model: registry name ('model', 'model_emd', ...).
+      model_path: checkpoint directory written by the trainer
+        (e.g. log/model.ckpt or log/best_model_epoch_087.ckpt).
+      num_point: points per shape the model was trained with.
+      batch_size: compiled batch size; inputs are padded/split to it.
+    """
+
+    def __init__(self, model: str, model_path: str, num_point: int,
+                 batch_size: int = 32):
+        self.num_point = num_point
+        self.batch_size = batch_size
+        spec = get_model_spec(model)
+        self._model, variables = spec.init_variables(
+            jax.random.PRNGKey(0), num_point
+        )
+        # The stored tree is {state: TrainState, epoch, best_loss}; only
+        # params/batch_stats matter for inference but the abstract tree must
+        # match the stored structure.
+        tx = make_optimizer("adam", lambda s: 1e-3)
+        abstract = {
+            "state": TrainState.create(variables, tx),
+            "epoch": 0,
+            "best_loss": 0.0,
+        }
+        mgr = CheckpointManager(os.path.dirname(os.path.abspath(model_path))
+                                or ".")
+        restored = mgr.restore(model_path, abstract)
+        self._variables = {
+            "params": restored["state"].params,
+            "batch_stats": restored["state"].batch_stats,
+        }
+
+        def fwd(points):
+            pred, end_points = self._model.apply(
+                self._variables, points, train=False, bn_momentum=0.0
+            )
+            return pred, end_points["embedding"]
+
+        self._fwd = jax.jit(fwd)
+
+        def per_shape_chamfer(pred, target):
+            d1, _, d2, _ = nn_distance(pred, target)
+            return jnp.mean(d1, axis=1) + jnp.mean(d2, axis=1)
+
+        self._chamfer = jax.jit(per_shape_chamfer)
+
+    # -- helpers --------------------------------------------------------------
+
+    def _batched(self, points: np.ndarray):
+        pts = np.asarray(points, np.float32)
+        single = pts.ndim == 2
+        if single:
+            pts = pts[None]
+        if pts.shape[1:] != (self.num_point, 3):
+            raise ValueError(
+                f"expected (*, {self.num_point}, 3), got {pts.shape}"
+            )
+        return pts, single
+
+    def _run(self, pts: np.ndarray):
+        """Pad/split to the compiled batch size; yields (pred, emb) chunks."""
+        n = pts.shape[0]
+        bs = self.batch_size
+        preds, embs = [], []
+        for s in range(0, n, bs):
+            chunk = pts[s:s + bs]
+            pad = bs - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)]
+                )
+            pred, emb = self._fwd(jnp.asarray(chunk))
+            preds.append(np.asarray(pred)[:bs - pad])
+            embs.append(np.asarray(emb)[:bs - pad])
+        return np.concatenate(preds), np.concatenate(embs)
+
+    # -- public API -----------------------------------------------------------
+
+    def reconstruct(self, points) -> np.ndarray:
+        """(B, N, 3) or (N, 3) -> reconstructed cloud(s), same leading shape."""
+        pts, single = self._batched(points)
+        pred, _ = self._run(pts)
+        return pred[0] if single else pred
+
+    def embed(self, points) -> np.ndarray:
+        """(B, N, 3) or (N, 3) -> embedding(s) (B, D) / (D,)."""
+        pts, single = self._batched(points)
+        _, emb = self._run(pts)
+        return emb[0] if single else emb
+
+    def chamfer(self, pred, target) -> np.ndarray:
+        """Per-shape raw Chamfer (the reference's pcloss) between two
+        (B, N, 3) clouds."""
+        return np.asarray(self._chamfer(jnp.asarray(pred, jnp.float32),
+                                        jnp.asarray(target, jnp.float32)))
+
+    def evaluate(self, dataset, num_shapes: Optional[int] = None,
+                 seed: int = 0):
+        """Reconstruct a dataset's shapes; returns (mean_chamfer, per_shape).
+        Iterates in a shuffled order like the reference's test loop
+        (test.py:79-83)."""
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(len(dataset))
+        if num_shapes is not None:
+            order = order[:num_shapes]
+        clouds = np.stack([dataset[int(i)][0] for i in order])
+        preds, _ = self._run(clouds)
+        cds = []
+        bs = self.batch_size
+        for s in range(0, len(clouds), bs):
+            cds.append(self.chamfer(preds[s:s + bs], clouds[s:s + bs]))
+        per_shape = np.concatenate(cds)
+        return float(per_shape.mean()), per_shape

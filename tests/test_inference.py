@@ -1,0 +1,78 @@
+"""InferenceSession tests: checkpoint restore, batching, chamfer metric."""
+
+import jax
+import numpy as np
+import pytest
+
+from pointnet_autoencoder_tpu.config import TrainConfig
+from pointnet_autoencoder_tpu.data import synthetic
+from pointnet_autoencoder_tpu.data.shapenet_part import PartDataset
+from pointnet_autoencoder_tpu.inference import InferenceSession
+
+NUM_POINT = 64
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    root = tmp_path_factory.mktemp("fix")
+    synthetic.write_fixture(str(root), shapes_per_category=48,
+                            points_per_shape=80, seed=0)
+    log_dir = str(tmp_path_factory.mktemp("log"))
+    from pointnet_autoencoder_tpu.train.loop import Trainer
+
+    cfg = TrainConfig(model="model", category="Chair", log_dir=log_dir,
+                      num_point=NUM_POINT, max_epoch=1, batch_size=8,
+                      data_path=str(root), seed=0, log_every=100)
+    trainer = Trainer(cfg)
+    trainer.train()
+    ckpt = trainer.ckpt.latest()
+    assert ckpt is not None
+    return str(root), ckpt
+
+
+def test_session_reconstruct_shapes(trained):
+    root, ckpt = trained
+    sess = InferenceSession("model", ckpt, NUM_POINT, batch_size=4)
+    ds = PartDataset(root, npoints=NUM_POINT, split="test",
+                     class_choice=["Chair"], seed=1)
+    pts, _ = ds[0]
+    # Single cloud.
+    rec = sess.reconstruct(pts)
+    assert rec.shape == (NUM_POINT, 3)
+    # Batch not divisible by the compiled batch size (padding path).
+    batch = np.stack([ds[i][0] for i in range(6)])
+    recs = sess.reconstruct(batch)
+    assert recs.shape == (6, NUM_POINT, 3)
+    # Padded results must equal unpadded per-shape results.
+    np.testing.assert_allclose(recs[0], sess.reconstruct(batch[0]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_session_embed_and_chamfer(trained):
+    root, ckpt = trained
+    sess = InferenceSession("model", ckpt, NUM_POINT, batch_size=4)
+    ds = PartDataset(root, npoints=NUM_POINT, split="test",
+                     class_choice=["Chair"], seed=1)
+    pts, _ = ds[0]
+    emb = sess.embed(pts)
+    assert emb.shape == (1024,)
+    cd = sess.chamfer(pts[None], pts[None])
+    np.testing.assert_allclose(cd, 0.0, atol=1e-6)
+
+
+def test_session_evaluate(trained):
+    root, ckpt = trained
+    sess = InferenceSession("model", ckpt, NUM_POINT, batch_size=4)
+    ds = PartDataset(root, npoints=NUM_POINT, split="test",
+                     class_choice=["Chair"], seed=1)
+    mean_cd, per_shape = sess.evaluate(ds, num_shapes=5, seed=0)
+    assert per_shape.shape == (5,)
+    assert np.isfinite(mean_cd) and mean_cd > 0
+    np.testing.assert_allclose(mean_cd, per_shape.mean(), rtol=1e-6)
+
+
+def test_session_rejects_wrong_shape(trained):
+    _, ckpt = trained
+    sess = InferenceSession("model", ckpt, NUM_POINT, batch_size=2)
+    with pytest.raises(ValueError):
+        sess.reconstruct(np.zeros((10, 3), np.float32))
