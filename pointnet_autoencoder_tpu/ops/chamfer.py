@@ -83,48 +83,46 @@ def _nn_distance_xla(xyz1, xyz2):
 
 
 def _nn_direction_kernel(x1t_ref, x2_ref, dist_ref, idx_ref, *, tile_m: int):
-    """One direction of nn_distance for one (batch, N-tile) grid cell.
+    """One direction of nn_distance for one (batch, N-tile, M-tile) cell.
 
-    x1t_ref: (1, 3, TN) query points, coordinate-major.
-    x2_ref:  (1, M, 3) full search cloud (fits VMEM: M*3*4 bytes).
-    dist_ref/idx_ref: (1, 1, TN) outputs.
+    x1t_ref: (1, 3, TN) query points, coordinate-major (lane-packed).
+    x2_ref:  (1, TM, 3) search-cloud tile, delivered by the M grid dim so
+             VMEM holds one tile at a time (a full (M, 3) block lane-pads
+             3 -> 128 and OOMs VMEM around M~16k).
+    dist_ref/idx_ref: (1, 1, TN); their index map ignores the M grid dim,
+             so they act as running (min, argmin) accumulators across the
+             sequentially-iterated M tiles.
 
-    Streams M in tiles of ``tile_m`` with a running (min, argmin) carried
-    through a fori_loop -- the TPU analog of the CUDA kernel's shared-memory
-    chunking (tf_nndistance_g.cu:6-13) without any HBM (N,M) intermediate.
+    d2 is oriented (TM, TN): the reduction runs over sublanes, where
+    Mosaic's min+argmin is ~3.5x faster than the lane-axis form. This is
+    the TPU analog of the reference CUDA kernel's shared-memory chunking
+    (tf_nndistance_g.cu:6-13) with no HBM (N,M) intermediate.
     """
+    mt = pl.program_id(2)
     ax = x1t_ref[0, 0:1, :]  # (1, TN)
     ay = x1t_ref[0, 1:2, :]
     az = x1t_ref[0, 2:3, :]
     tn = ax.shape[1]
-    m = x2_ref.shape[1]
-    num_tiles = m // tile_m  # M is padded to a multiple of tile_m by caller
 
-    def body(t, carry):
-        run_min, run_idx = carry
-        l0 = t * tile_m
-        bx = x2_ref[0, pl.ds(l0, tile_m), 0:1]  # (TM, 1)
-        by = x2_ref[0, pl.ds(l0, tile_m), 1:2]
-        bz = x2_ref[0, pl.ds(l0, tile_m), 2:3]
-        dx = bx - ax  # (TM, TN)
-        dy = by - ay
-        dz = bz - az
-        d2 = dx * dx + dy * dy + dz * dz
-        tile_min = jnp.min(d2, axis=0, keepdims=True)  # (1, TN)
-        tile_arg = jnp.argmin(d2, axis=0).reshape(1, tn).astype(jnp.int32)
-        take = tile_min < run_min  # strict <: earlier tile wins ties
-        return (
-            jnp.where(take, tile_min, run_min),
-            jnp.where(take, tile_arg + l0, run_idx),
-        )
+    @pl.when(mt == 0)
+    def _init():
+        dist_ref[0] = jnp.full((1, tn), jnp.inf, dtype=x1t_ref.dtype)
+        idx_ref[0] = jnp.zeros((1, tn), dtype=jnp.int32)
 
-    init = (
-        jnp.full((1, tn), jnp.inf, dtype=x2_ref.dtype),
-        jnp.zeros((1, tn), dtype=jnp.int32),
-    )
-    run_min, run_idx = jax.lax.fori_loop(0, num_tiles, body, init)
-    dist_ref[0] = run_min
-    idx_ref[0] = run_idx
+    bx = x2_ref[0, :, 0:1]  # (TM, 1)
+    by = x2_ref[0, :, 1:2]
+    bz = x2_ref[0, :, 2:3]
+    dx = bx - ax  # (TM, TN)
+    dy = by - ay
+    dz = bz - az
+    d2 = dx * dx + dy * dy + dz * dz
+    tile_min = jnp.min(d2, axis=0, keepdims=True)  # (1, TN)
+    tile_arg = (jnp.argmin(d2, axis=0).reshape(1, tn).astype(jnp.int32)
+                + mt * tile_m)
+    run_min = dist_ref[0]
+    take = tile_min < run_min  # strict <: earlier M tile wins ties
+    dist_ref[0] = jnp.where(take, tile_min, run_min)
+    idx_ref[0] = jnp.where(take, tile_arg, idx_ref[0])
 
 
 def _pad_points(x, multiple):
@@ -144,22 +142,23 @@ def _nn_one_direction_pallas(xyz1, xyz2, tile_n, tile_m, interpret):
     np_, mp = xyz1p.shape[1], xyz2p.shape[1]
     x1t = jnp.swapaxes(xyz1p, 1, 2)  # (B, 3, Np) coordinate-major
 
-    grid = (b, np_ // tile_n)
+    grid = (b, np_ // tile_n, mp // tile_m)  # M innermost: sequential scan
     dist, idx = pl.pallas_call(
         functools.partial(_nn_direction_kernel, tile_m=tile_m),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 3, tile_n), lambda bi, i: (bi, 0, i),
+            pl.BlockSpec((1, 3, tile_n), lambda bi, i, t: (bi, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mp, 3), lambda bi, i: (bi, 0, 0),
+            pl.BlockSpec((1, tile_m, 3), lambda bi, i, t: (bi, t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             # Outputs carry a unit sublane axis so the (sublane, lane) block
-            # dims satisfy TPU tiling (block dim == array dim, lane % 128).
-            pl.BlockSpec((1, 1, tile_n), lambda bi, i: (bi, 0, i),
+            # dims satisfy TPU tiling; their index maps ignore the M grid
+            # dim, making them cross-tile accumulators.
+            pl.BlockSpec((1, 1, tile_n), lambda bi, i, t: (bi, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tile_n), lambda bi, i: (bi, 0, i),
+            pl.BlockSpec((1, 1, tile_n), lambda bi, i, t: (bi, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[

@@ -144,6 +144,10 @@ def emd_forward_pallas(xyz1: jax.Array, xyz2: jax.Array,
         interpret = jax.default_backend() != "tpu"
     b, n, _ = xyz1.shape
     m = xyz2.shape[1]
+    # The (N, 3) input block lane-pads 3 -> 128 in VMEM (N*512 bytes); cap it
+    # so large clouds fall back to the dense path instead of VMEM-OOMing.
+    if n > 8192:
+        return None
     tile_n = _pick_tile_n(n, m)
     if tile_n == 0:
         return None
