@@ -7,12 +7,18 @@ jax.custom_vjp with the analytic backward passes the reference registers.
 """
 
 from pointnet_autoencoder_tpu.ops.chamfer import nn_distance, chamfer_loss
-from pointnet_autoencoder_tpu.ops.emd import approx_match, match_cost, emd_loss
+from pointnet_autoencoder_tpu.ops.emd import (
+    approx_match,
+    emd_cost,
+    emd_loss,
+    match_cost,
+)
 
 __all__ = [
     "nn_distance",
     "chamfer_loss",
     "approx_match",
     "match_cost",
+    "emd_cost",
     "emd_loss",
 ]
