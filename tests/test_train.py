@@ -68,6 +68,15 @@ def test_checkpoint_roundtrip_and_latest(tmp_path):
     # Overwriting periodic works (the reference overwrites model.ckpt).
     p3 = mgr.save_periodic(dict(tree, epoch=9))
     assert mgr.latest() == p3
+    # Fallback for directories without a LATEST pointer (older runs):
+    # highest best_model_epoch wins, then model.ckpt.
+    os.remove(str(tmp_path / "LATEST"))
+    assert mgr.latest() == p2  # best_model_epoch_007
+    import shutil
+    shutil.rmtree(p2)
+    assert mgr.latest() == p3  # model.ckpt
+    shutil.rmtree(p3)
+    assert mgr.latest() is None
 
 
 @pytest.fixture(scope="module")
