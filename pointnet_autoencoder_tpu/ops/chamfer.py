@@ -137,6 +137,14 @@ def _pad_points(x, multiple):
 def _nn_one_direction_pallas(xyz1, xyz2, tile_n, tile_m, interpret):
     """dist/idx from each xyz1 point to nearest xyz2 point. (B,N,3),(B,M,3)."""
     b, n, _ = xyz1.shape
+    # Larger query tiles amortize per-grid-step overhead (tn=2048/tm=512
+    # measured fastest at the reference workload); grow tile_n when the
+    # padded N allows it without extra padding waste.
+    padded_n = n + ((-n) % tile_n)
+    for cand in (2048, 1024):
+        if cand > tile_n and padded_n % cand == 0:
+            tile_n = cand
+            break
     xyz1p = _pad_points(xyz1, tile_n)
     xyz2p = _pad_points(xyz2, tile_m)
     np_, mp = xyz1p.shape[1], xyz2p.shape[1]
