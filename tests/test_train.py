@@ -114,3 +114,17 @@ def test_trainer_end_to_end(fixture_root, tmp_path):
     trainer2 = Trainer(cfg2)
     assert trainer2.start_epoch >= 1
     assert np.isfinite(trainer2.best_loss)
+
+
+def test_trainer_host_input_mode(fixture_root, tmp_path):
+    """The reference-style host assembly path end-to-end."""
+    cfg = TrainConfig(
+        model="model", category="Chair", log_dir=str(tmp_path / "log"),
+        num_point=64, max_epoch=1, batch_size=8, data_path=fixture_root,
+        seed=0, log_every=1, input_mode="host",
+    )
+    from pointnet_autoencoder_tpu.train.loop import Trainer
+
+    trainer = Trainer(cfg)
+    best = trainer.train()
+    assert np.isfinite(best)
