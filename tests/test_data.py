@@ -64,6 +64,17 @@ def test_getitem_contract(fixture_root):
     assert not np.array_equal(pts, pts2)
 
 
+def test_normalize_false_preserves_raw_coordinates(fixture_root):
+    raw = PartDataset(fixture_root, npoints=32, split="train",
+                      normalize=False, seed=0)
+    pts, _, _ = raw._load(0)
+    # Fixture shapes have anisotropic scale up to 1.5 + jitter: without
+    # normalization, norms exceed the unit sphere.
+    assert np.max(np.linalg.norm(pts - pts.mean(0), axis=1)) != pytest.approx(
+        1.0, rel=1e-3
+    )
+
+
 def test_classification_mode(fixture_root):
     ds = PartDataset(fixture_root, npoints=16, split="train",
                      classification=True)

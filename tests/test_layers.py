@@ -8,6 +8,7 @@ from pointnet_autoencoder_tpu.nn.layers import (
     FC,
     BatchNorm,
     Conv,
+    Dropout,
     PointMLP,
     UpConv,
     avg_pool,
@@ -110,6 +111,20 @@ def test_pools():
     assert mx.shape == av.shape == (1, 2, 2, 2)
     assert float(mx[0, 0, 0, 0]) == 10.0   # max of {0,2,8,10}
     assert float(av[0, 0, 0, 0]) == 5.0    # mean of {0,2,8,10}
+
+
+def test_dropout_train_vs_eval():
+    m = Dropout(keep_prob=0.5)
+    x = jnp.ones((64, 64))
+    v = m.init({"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)}, x, True)
+    y_eval = m.apply(v, x, False)
+    np.testing.assert_array_equal(np.asarray(y_eval), np.asarray(x))
+    y_train = m.apply(v, x, True, rngs={"dropout": jax.random.PRNGKey(2)})
+    zeros = float((np.asarray(y_train) == 0).mean())
+    assert 0.3 < zeros < 0.7  # ~half dropped
+    kept = np.asarray(y_train)[np.asarray(y_train) != 0]
+    np.testing.assert_allclose(kept, 2.0, rtol=1e-6)  # inverted scaling
 
 
 def test_fc_bias_zero_init():
