@@ -85,8 +85,18 @@ class PartDataset:
         self.normalize = normalize
         self._rng = np.random.default_rng(seed)
 
+        catfile = os.path.join(root, "synsetoffset2category.txt")
+        if not os.path.exists(catfile):
+            raise FileNotFoundError(
+                f"no ShapeNetPart dataset at {root!r} (missing "
+                f"synsetoffset2category.txt). Point --data_path at a "
+                f"shapenetcore_partanno_segmentation_benchmark_v0 directory, "
+                f"or generate a synthetic fixture: python -c \"from "
+                f"pointnet_autoencoder_tpu.data import synthetic; "
+                f"synthetic.write_fixture('{root}', 60, 512)\""
+            )
         self.cat: Dict[str, str] = {}
-        with open(os.path.join(root, "synsetoffset2category.txt")) as f:
+        with open(catfile) as f:
             for line in f:
                 parts = line.strip().split()
                 if len(parts) == 2:

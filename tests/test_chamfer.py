@@ -91,6 +91,19 @@ def test_impls_agree_on_large_cloud():
     np.testing.assert_array_equal(np.asarray(i2a), np.asarray(i2b))
 
 
+def test_nn_distance_composes_with_vmap():
+    """Extra batch axis via vmap, both impls (pallas in interpret mode)."""
+    x1, x2 = _rand_clouds(2, 24, 24, seed=9)
+    stacked1 = jnp.stack([jnp.asarray(x1)] * 2)
+    stacked2 = jnp.stack([jnp.asarray(x2)] * 2)
+    for impl in IMPLS:
+        d1, i1, d2, i2 = jax.vmap(
+            lambda a, b, impl=impl: chamfer.nn_distance(a, b, impl=impl)
+        )(stacked1, stacked2)
+        assert d1.shape == (2, 2, 24)
+        np.testing.assert_allclose(np.asarray(d1[0]), np.asarray(d1[1]))
+
+
 def test_chamfer_loss_value():
     x1, x2 = _rand_clouds(2, 64, 64, seed=5)
     loss = chamfer.chamfer_loss(jnp.asarray(x1), jnp.asarray(x2), impl="xla")

@@ -64,6 +64,11 @@ def test_getitem_contract(fixture_root):
     assert not np.array_equal(pts, pts2)
 
 
+def test_missing_dataset_root_helpful_error(tmp_path):
+    with pytest.raises(FileNotFoundError, match="data_path|fixture"):
+        PartDataset(str(tmp_path / "nope"), npoints=8)
+
+
 def test_normalize_false_preserves_raw_coordinates(fixture_root):
     raw = PartDataset(fixture_root, npoints=32, split="train",
                       normalize=False, seed=0)
