@@ -33,6 +33,12 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
         devices = jax.devices()
     if data_parallel is None:
         data_parallel = len(devices)
+    if data_parallel > len(devices):
+        raise ValueError(
+            f"data_parallel={data_parallel} requested but only "
+            f"{len(devices)} device(s) are available "
+            f"({[str(d) for d in devices]})"
+        )
     devices = np.asarray(devices[:data_parallel]).reshape(data_parallel, 1)
     return Mesh(devices, (DATA_AXIS, MODEL_AXIS))
 
