@@ -144,7 +144,7 @@ class PartDataset:
     def _scan_seg_classes(self) -> int:
         """Max part-label count over a 2% sample, as the reference does
         (part_dataset.py:94-98)."""
-        if self.classification:
+        if self.classification or not self.datapath:
             return 0
         n = 0
         for i in range(0, max(1, len(self.datapath) // 50)):

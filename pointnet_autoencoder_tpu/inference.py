@@ -13,6 +13,7 @@ reuses a single executable.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Optional
 
@@ -24,6 +25,28 @@ from pointnet_autoencoder_tpu.models.registry import get_model_spec
 from pointnet_autoencoder_tpu.ops.chamfer import nn_distance
 from pointnet_autoencoder_tpu.train.checkpoint import CheckpointManager
 from pointnet_autoencoder_tpu.train.state import TrainState, make_optimizer
+
+
+def _optimizer_candidates(ckpt_dir: str):
+    """(optimizer_name, momentum) guesses for a checkpoint directory, best
+    first: the run's snapshotted config.json if present, then every known
+    optimizer (the reference supports adam and momentum, train.py:117-120)."""
+    candidates = []
+    cfg_path = os.path.join(ckpt_dir, "config.json")
+    if os.path.exists(cfg_path):
+        try:
+            with open(cfg_path) as f:
+                cfg = json.load(f)
+            if cfg.get("optimizer"):
+                candidates.append(
+                    (cfg["optimizer"], float(cfg.get("momentum", 0.9)))
+                )
+        except (OSError, ValueError):
+            pass
+    for name in ("adam", "momentum"):
+        if not any(c[0] == name for c in candidates):
+            candidates.append((name, 0.9))
+    return candidates
 
 
 class InferenceSession:
@@ -47,16 +70,32 @@ class InferenceSession:
         )
         # The stored tree is {state: TrainState, epoch, best_loss}; only
         # params/batch_stats matter for inference but the abstract tree must
-        # match the stored structure.
-        tx = make_optimizer("adam", lambda s: 1e-3)
-        abstract = {
-            "state": TrainState.create(variables, tx),
-            "epoch": 0,
-            "best_loss": 0.0,
-        }
-        mgr = CheckpointManager(os.path.dirname(os.path.abspath(model_path))
-                                or ".")
-        restored = mgr.restore(model_path, abstract)
+        # match the stored structure -- including the optimizer slots, which
+        # differ between adam and momentum (the reference's two --optimizer
+        # choices, train.py:117-120). The trainer snapshots its config next
+        # to the checkpoints, so read the optimizer from there when
+        # available, then fall back to trying each known optimizer's tree.
+        ckpt_dir = os.path.dirname(os.path.abspath(model_path)) or "."
+        mgr = CheckpointManager(ckpt_dir)
+        restored = None
+        errors = []
+        for opt_name, momentum in _optimizer_candidates(ckpt_dir):
+            tx = make_optimizer(opt_name, lambda s: 1e-3, momentum)
+            abstract = {
+                "state": TrainState.create(variables, tx),
+                "epoch": 0,
+                "best_loss": 0.0,
+            }
+            try:
+                restored = mgr.restore(model_path, abstract)
+                break
+            except (ValueError, KeyError, TypeError) as e:
+                errors.append(f"{opt_name}: {e}")
+        if restored is None:
+            raise ValueError(
+                f"could not restore {model_path} with any known optimizer "
+                f"state layout:\n" + "\n".join(errors)
+            )
         self._variables = {
             "params": restored["state"].params,
             "batch_stats": restored["state"].batch_stats,

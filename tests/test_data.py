@@ -64,6 +64,18 @@ def test_getitem_contract(fixture_root):
     assert not np.array_equal(pts, pts2)
 
 
+def test_empty_split_is_usable(tmp_path):
+    """A valid category whose chosen split has no shapes must yield an empty
+    dataset (len 0, num_seg_classes 0) instead of an IndexError from the
+    2% seg-class scan (reference part_dataset.py:94-98 scans zero files)."""
+    root = synthetic.write_fixture(str(tmp_path / "tiny"),
+                                   shapes_per_category=2,
+                                   points_per_shape=16, seed=0)
+    ds = PartDataset(root, npoints=8, split="val")  # both shapes -> train
+    assert len(ds) == 0
+    assert ds.num_seg_classes == 0
+
+
 def test_missing_dataset_root_helpful_error(tmp_path):
     with pytest.raises(FileNotFoundError, match="data_path|fixture"):
         PartDataset(str(tmp_path / "nope"), npoints=8)

@@ -1,5 +1,7 @@
 """InferenceSession tests: checkpoint restore, batching, chamfer metric."""
 
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -76,3 +78,48 @@ def test_session_rejects_wrong_shape(trained):
     sess = InferenceSession("model", ckpt, NUM_POINT, batch_size=2)
     with pytest.raises(ValueError):
         sess.reconstruct(np.zeros((10, 3), np.float32))
+
+
+def test_session_restores_momentum_checkpoint(trained, tmp_path):
+    """A checkpoint written with --optimizer momentum (reference
+    train.py:117-120) must restore: the optimizer slot layout differs from
+    Adam's, and round 1 hardcoded an Adam abstract tree."""
+    root, _ = trained
+    log_dir = str(tmp_path / "log_momentum")
+    from pointnet_autoencoder_tpu.train.loop import Trainer
+
+    cfg = TrainConfig(model="model", category="Chair", log_dir=log_dir,
+                      num_point=NUM_POINT, max_epoch=1, batch_size=8,
+                      data_path=root, seed=0, log_every=100,
+                      optimizer="momentum")
+    trainer = Trainer(cfg)
+    trainer.train()
+    ckpt = trainer.ckpt.latest()
+    assert ckpt is not None
+
+    sess = InferenceSession("model", ckpt, NUM_POINT, batch_size=4)
+    ds = PartDataset(root, npoints=NUM_POINT, split="test",
+                     class_choice=["Chair"], seed=1)
+    rec = sess.reconstruct(ds[0][0])
+    assert rec.shape == (NUM_POINT, 3)
+    assert np.all(np.isfinite(rec))
+    # Restored params must match the trainer's final params (proves the
+    # restore used the right tree rather than silently reinitializing).
+    trained_kernel = np.asarray(jax.device_get(
+        trainer.state.params["encoder"]["conv1"]["dense"]["kernel"]))
+    restored_kernel = np.asarray(
+        sess._variables["params"]["encoder"]["conv1"]["dense"]["kernel"])
+    np.testing.assert_array_equal(trained_kernel, restored_kernel)
+
+    # Fallback path: with no config.json next to the checkpoint the session
+    # must still find the momentum layout by trial.
+    import shutil
+    bare = tmp_path / "bare"
+    bare.mkdir()
+    shutil.copytree(ckpt, bare / os.path.basename(ckpt))
+    sess2 = InferenceSession("model", str(bare / os.path.basename(ckpt)),
+                             NUM_POINT, batch_size=4)
+    np.testing.assert_array_equal(
+        restored_kernel,
+        np.asarray(sess2._variables["params"]["encoder"]["conv1"]["dense"]
+                   ["kernel"]))
