@@ -62,22 +62,49 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def initialize_distributed_if_requested() -> bool:
-    """Multi-host hook: calls jax.distributed.initialize() when the standard
-    coordinator env vars are present (JAX_COORDINATOR_ADDRESS etc.).
+# Env markers of the cluster schedulers jax.distributed can auto-detect
+# (jax._src.clusters: SLURM, Open MPI / PRRTE, Kubernetes). Cloud TPU pods
+# are detected by jax via the metadata server, not an env var.
+_CLUSTER_ENV_MARKERS = (
+    "SLURM_JOB_ID",
+    "PRTE_LAUNCHED",          # Open MPI >= 5
+    "OMPI_MCA_orte_hnp_uri",  # Open MPI < 5
+    "KUBERNETES_SERVICE_HOST",
+)
 
-    The reference is single-process (SURVEY.md section 2.3) and this
-    workload fits one slice, so multi-host is opt-in only: launch one
-    process per host with the usual JAX cluster env and every mesh built
-    here spans all processes' devices; batches stay sharded over 'data'
-    with ICI/DCN collectives inserted by GSPMD.
+
+def initialize_distributed_if_requested() -> bool:
+    """Multi-host hook: brings up jax.distributed when a cluster is visible.
+
+    Launch recipe (one process per host):
+      * under SLURM / Open MPI / k8s, or on a Cloud TPU pod slice: nothing
+        to configure -- ``jax.distributed.initialize()`` auto-detects the
+        cluster and this returns True;
+      * anywhere else: export JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES,
+        and JAX_PROCESS_ID on every host and they are passed through
+        explicitly.
+
+    The reference is single-process (SURVEY.md section 2.3), so multi-host
+    stays opt-in: once initialized, every mesh built here spans all
+    processes' devices, batches stay sharded over 'data', and GSPMD places
+    the collectives on ICI/DCN.
     """
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") is None:
-        return False
-    jax.distributed.initialize()
-    return True
+    if jax.distributed.is_initialized():
+        return True
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr is not None:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+        return True
+    if any(marker in os.environ for marker in _CLUSTER_ENV_MARKERS):
+        jax.distributed.initialize()  # jax's own ClusterEnv auto-detection
+        return True
+    return False
 
 
 def check_batch_divisible(batch_size: int, mesh: Mesh) -> None:

@@ -158,12 +158,37 @@ def group_colors(num_point: int, num_group: int,
     return out
 
 
+def magnify_blue(img: np.ndarray, level: int, channel: int = 2) -> np.ndarray:
+    """Dilate the blue channel by 1px (level 1: down+right, level >=2: all
+    four directions) -- the reference's magnifyBlue post-pass
+    (show3d_balls.py:88-93). ``channel`` is 2 because images here are RGB
+    (the reference operates on channel 0 of its BGR buffer)."""
+    if level <= 0:
+        return img
+    c = img[:, :, channel]
+    c = np.maximum(c, np.roll(c, 1, axis=0))
+    if level >= 2:
+        c = np.maximum(c, np.roll(c, -1, axis=0))
+    c = np.maximum(c, np.roll(c, 1, axis=1))
+    if level >= 2:
+        c = np.maximum(c, np.roll(c, -1, axis=1))
+    img[:, :, channel] = c
+    return img
+
+
 def showpoints(xyz: np.ndarray, c_gt: Optional[np.ndarray] = None,
-               c_pred: Optional[np.ndarray] = None, ballradius: int = 10,
-               **kwargs):
-    """Interactive viewer (requires cv2 + display): drag to rotate,
-    n/m zoom, r reset, s save, q quit. Headless environments should use
-    render_points/save_image instead."""
+               c_pred: Optional[np.ndarray] = None, waittime: int = 0,
+               showrot: bool = False, magnifyBlue: int = 0,
+               freezerot: bool = False, ballradius: int = 10,
+               size: int = 800, **kwargs):
+    """Interactive viewer (requires cv2 + display), hotkey-compatible with
+    the reference's show3d_balls.showpoints (show3d_balls.py:25-158):
+    drag to rotate (unless frozen), t/p ground-truth vs predicted colors,
+    n/m zoom in/out, r reset zoom, s save PNG, f toggle rotation freeze,
+    q quit the viewer, Q exit the process. ``showrot`` overlays the current
+    angles/zoom; ``magnifyBlue`` dilates the blue channel; ``waittime``
+    nonzero renders one frame and returns the pressed key. Headless
+    environments should use render_points()/save_image() instead."""
     try:
         import cv2  # type: ignore
     except ImportError as e:
@@ -172,10 +197,11 @@ def showpoints(xyz: np.ndarray, c_gt: Optional[np.ndarray] = None,
             "for headless rendering"
         ) from e
 
-    state = {"x": 0.5, "y": 0.5, "zoom": 1.0, "changed": True}
+    state = {"x": 0.5, "y": 0.5, "zoom": 1.0, "changed": True,
+             "frozen": bool(freezerot)}
 
     def on_mouse(event, mx, my, flags, param):
-        state["x"], state["y"] = mx / 800.0, my / 800.0
+        state["x"], state["y"] = mx / float(size), my / float(size)
         state["changed"] = True
 
     cv2.namedWindow("pcae")
@@ -183,17 +209,30 @@ def showpoints(xyz: np.ndarray, c_gt: Optional[np.ndarray] = None,
     colors = c_gt
     while True:
         if state["changed"]:
+            xangle = 0.0 if state["frozen"] else (state["y"] - 0.5) * np.pi * 1.2
+            yangle = 0.0 if state["frozen"] else (state["x"] - 0.5) * np.pi * 1.2
             img = render_points(
-                xyz, colors, ballradius=ballradius,
-                xangle=(state["y"] - 0.5) * np.pi * 1.2,
-                yangle=(state["x"] - 0.5) * np.pi * 1.2,
-                zoom=state["zoom"], **kwargs,
+                xyz, colors, ballradius=ballradius, size=size,
+                xangle=xangle, yangle=yangle, zoom=state["zoom"], **kwargs,
             )
+            if magnifyBlue > 0:
+                img = magnify_blue(img, magnifyBlue)
+            if showrot:
+                for i, text in enumerate((
+                        "xangle %d" % int(xangle / np.pi * 180),
+                        "yangle %d" % int(yangle / np.pi * 180),
+                        "zoom %d%%" % int(state["zoom"] * 100))):
+                    cv2.putText(img, text, (30, size - 30 - 20 * i), 0, 0.5,
+                                (255, 0, 0))
             state["changed"] = False
         cv2.imshow("pcae", img[:, :, ::-1])
-        cmd = cv2.waitKey(10) % 256
+        cmd = cv2.waitKey(10 if waittime == 0 else waittime) % 256
         if cmd == ord("q"):
             break
+        elif cmd == ord("Q"):
+            import sys
+
+            sys.exit(0)
         elif cmd == ord("t"):
             colors, state["changed"] = c_gt, True
         elif cmd == ord("p"):
@@ -209,5 +248,10 @@ def showpoints(xyz: np.ndarray, c_gt: Optional[np.ndarray] = None,
             state["changed"] = True
         elif cmd == ord("s"):
             save_image(img, "pcae_view.png")
+        elif cmd == ord("f"):
+            state["frozen"] = not state["frozen"]
+            state["changed"] = True
+        if waittime != 0:
+            break
     cv2.destroyWindow("pcae")
     return cmd

@@ -113,8 +113,128 @@ def test_dp_gradients_and_bn_stats_match_single_device():
     # reference has the same redundant biases and the same pathology.
 
 
+def test_multihost_hook_no_cluster(monkeypatch):
+    """Bare environment: the hook must not touch jax.distributed."""
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID") + meshlib._CLUSTER_ENV_MARKERS:
+        monkeypatch.delenv(var, raising=False)
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append(k))
+    assert meshlib.initialize_distributed_if_requested() is False
+    assert calls == []
+
+
+def test_multihost_hook_explicit_env(monkeypatch):
+    """Explicit coordinator triple is passed through to initialize()."""
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_PROCESS_ID", "2")
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **k: calls.append(k))
+    assert meshlib.initialize_distributed_if_requested() is True
+    assert calls == [{"coordinator_address": "10.0.0.1:1234",
+                      "num_processes": 4, "process_id": 2}]
+
+
+def test_multihost_hook_autodetected_cluster(monkeypatch):
+    """A scheduler env marker triggers jax's own auto-detection (no args)."""
+    for var in ("JAX_COORDINATOR_ADDRESS",) + meshlib._CLUSTER_ENV_MARKERS:
+        monkeypatch.delenv(var, raising=False)
+    monkeypatch.setenv("SLURM_JOB_ID", "42")
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append((a, k)))
+    assert meshlib.initialize_distributed_if_requested() is True
+    assert calls == [((), {})]
+
+
+def test_multihost_hook_already_initialized(monkeypatch):
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: True)
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("re-init")))
+    assert meshlib.initialize_distributed_if_requested() is True
+
+
 def test_graft_dryrun_multichip():
     __graft_entry__.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("config", ["model_emd", "model_hierachy"])
+def test_graft_dryrun_multichip_other_losses(config):
+    """The EMD and hierarchy loss families compose different custom ops with
+    GSPMD; each gets the same sharded dry run as the flagship."""
+    __graft_entry__.dryrun_multichip(8, config)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels under GSPMD sharding
+# ---------------------------------------------------------------------------
+#
+# Real multi-chip TPU training runs the Pallas loss kernels on batches
+# sharded over the 'data' axis. These tests exercise exactly that
+# composition (interpret mode on the 8-device CPU mesh): forward values and
+# custom-VJP gradients of the sharded Pallas call must match the unsharded
+# dense-XLA reference.
+
+
+def _sharded(x):
+    return jax.device_put(x, meshlib.batch_sharding(meshlib.make_mesh()))
+
+
+def test_pallas_chamfer_under_sharded_jit():
+    from pointnet_autoencoder_tpu.ops.chamfer import nn_distance
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    xyz1 = jax.random.normal(k1, (16, 96, 3))
+    xyz2 = jax.random.normal(k2, (16, 80, 3))
+
+    pallas_fn = jax.jit(lambda a, b: nn_distance(a, b, impl="pallas"))
+    out_sharded = pallas_fn(_sharded(xyz1), _sharded(xyz2))
+    out_ref = nn_distance(xyz1, xyz2, impl="xla")
+    for got, want in zip(jax.device_get(out_sharded), jax.device_get(out_ref)):
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_chamfer_grads_under_sharded_jit():
+    from pointnet_autoencoder_tpu.ops.chamfer import chamfer_loss
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    xyz1 = jax.random.normal(k1, (16, 64, 3))
+    xyz2 = jax.random.normal(k2, (16, 64, 3))
+
+    grad_fn = jax.jit(jax.grad(
+        lambda a, b: chamfer_loss(a, b, impl="pallas"), argnums=(0, 1)))
+    g_sharded = grad_fn(_sharded(xyz1), _sharded(xyz2))
+    g_ref = jax.grad(
+        lambda a, b: chamfer_loss(a, b, impl="xla"), argnums=(0, 1)
+    )(xyz1, xyz2)
+    for got, want in zip(jax.device_get(g_sharded), jax.device_get(g_ref)):
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_emd_under_sharded_jit():
+    from pointnet_autoencoder_tpu.ops.emd import emd_cost
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    xyz1 = jax.random.normal(k1, (16, 64, 3))
+    xyz2 = jax.random.normal(k2, (16, 64, 3))
+
+    cost_fn = jax.jit(lambda a, b: emd_cost(a, b, impl="pallas"))
+    got = jax.device_get(cost_fn(_sharded(xyz1), _sharded(xyz2)))
+    want = jax.device_get(emd_cost(xyz1, xyz2, impl="xla"))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    grad_fn = jax.jit(jax.grad(
+        lambda a, b: jnp.mean(emd_cost(a, b, impl="pallas")), argnums=(0, 1)))
+    g_sharded = grad_fn(_sharded(xyz1), _sharded(xyz2))
+    g_ref = jax.grad(
+        lambda a, b: jnp.mean(emd_cost(a, b, impl="xla")), argnums=(0, 1)
+    )(xyz1, xyz2)
+    for got, want in zip(jax.device_get(g_sharded), jax.device_get(g_ref)):
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
 def test_graft_entry_compiles():

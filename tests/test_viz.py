@@ -68,3 +68,40 @@ def test_save_image(tmp_path):
     render.save_image(img, path)
     written = [f for f in os.listdir(tmp_path) if f.startswith("out")]
     assert written, "no image file written"
+
+
+def test_magnify_blue_dilates_blue_channel():
+    """magnifyBlue parity (show3d_balls.py:88-93): 1px max-dilation of the
+    blue channel, level 1 = down+right, level 2 = all four directions."""
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[4, 4] = (10, 20, 30)
+    out1 = render.magnify_blue(img.copy(), 1)
+    # Red/green untouched.
+    assert out1[:, :, 0].sum() == 10 and out1[:, :, 1].sum() == 20
+    blue1 = {tuple(p) for p in np.argwhere(out1[:, :, 2] == 30)}
+    assert blue1 == {(4, 4), (5, 4), (4, 5), (5, 5)}
+    out2 = render.magnify_blue(img.copy(), 2)
+    blue2 = {tuple(p) for p in np.argwhere(out2[:, :, 2] == 30)}
+    assert (3, 4) in blue2 and (4, 3) in blue2 and len(blue2) == 9
+    # Level 0 is a no-op.
+    np.testing.assert_array_equal(render.magnify_blue(img.copy(), 0), img)
+
+
+def test_emd_plan_demo_runs(tmp_path):
+    """Tiny end-to-end run of the EMD plan demo (the reference op's embedded
+    visualization, tf_approxmatch.py:53-105): optimization reduces the loss
+    and the plan render contains all three element colors."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    import emd_plan_demo
+
+    out = str(tmp_path / "plan.png")
+    path = emd_plan_demo.main(out, npoint=16, steps=30)
+    assert os.path.exists(path)
+    from PIL import Image
+    img = np.asarray(Image.open(path))
+    present = {tuple(c) for c in img.reshape(-1, 3)}
+    assert (0, 255, 0) in present    # match edges
+    assert (255, 0, 0) in present    # target points
+    assert (0, 0, 255) in present    # learned points
