@@ -45,8 +45,14 @@ def _make_shape(rng: np.random.Generator, kind: int, npts: int):
 
 def write_fixture(root: str, shapes_per_category: int = 12,
                   points_per_shape: int = 128, seed: int = 0,
-                  categories: List[str] | None = None) -> str:
-    """Creates the fixture under ``root`` and returns ``root``."""
+                  categories: List[str] | None = None,
+                  variable_points: bool = False) -> str:
+    """Creates the fixture under ``root`` and returns ``root``.
+
+    ``variable_points`` draws each shape's point count uniformly from
+    [points_per_shape/2, points_per_shape], like the real archive's ragged
+    shapes -- exercising the resample-with-replacement and DeviceDataset
+    cyclic-padding paths."""
     rng = np.random.default_rng(seed)
     cats = categories or list(_SYNSETS)
     os.makedirs(root, exist_ok=True)
@@ -63,7 +69,10 @@ def write_fixture(root: str, shapes_per_category: int = 12,
         os.makedirs(seg_dir, exist_ok=True)
         for i in range(shapes_per_category):
             token = f"{synset}_{i:04d}"
-            pts, seg = _make_shape(rng, i % 3, points_per_shape)
+            npts = (int(rng.integers(points_per_shape // 2,
+                                     points_per_shape + 1))
+                    if variable_points else points_per_shape)
+            pts, seg = _make_shape(rng, i % 3, npts)
             np.savetxt(os.path.join(pts_dir, token + ".pts"), pts, fmt="%.6f")
             np.savetxt(os.path.join(seg_dir, token + ".seg"), seg, fmt="%d")
             # ~2/3 train, 1/6 val, 1/6 test.

@@ -57,3 +57,46 @@ def test_config_json_roundtrip():
     cfg = TrainConfig(model="model_emd", category="Chair", batch_size=8)
     cfg2 = TrainConfig.from_json(cfg.to_json())
     assert cfg2 == cfg
+
+
+def test_parity_harness_on_fixture(tmp_path):
+    """The real-data parity harness (cli/parity.py) must run end-to-end on
+    the synthetic fixture and append a row to the results file; the day the
+    real archive exists the same command produces a REAL row."""
+    from pointnet_autoencoder_tpu.cli import parity
+
+    results = tmp_path / "RESULTS.md"
+    record = parity.run([
+        "--data_path", str(tmp_path / "fix"), "--synth_fixture",
+        "--num_point", "64", "--batch_size", "8", "--max_epoch", "1",
+        "--log_dir", str(tmp_path / "log"),
+        "--results", str(results), "--seed", "0",
+    ])
+    assert "fixture" in record["data"]
+    assert record["train_steps"] > 0
+    assert record["best_eval_chamfer"] > 0
+    text = results.read_text()
+    assert "Real-data parity runs" in text
+    assert "| fixture |" in text
+    # Appending a second row must not duplicate the section header.
+    parity.run([
+        "--data_path", str(tmp_path / "fix"), "--synth_fixture",
+        "--num_point", "64", "--batch_size", "8", "--max_epoch", "1",
+        "--log_dir", str(tmp_path / "log2"),
+        "--results", str(results), "--seed", "1",
+    ])
+    assert results.read_text().count("Real-data parity runs") == 1
+
+
+def test_fixture_variable_points(tmp_path):
+    from pointnet_autoencoder_tpu.data import synthetic
+    from pointnet_autoencoder_tpu.data.shapenet_part import PartDataset
+
+    root = synthetic.write_fixture(str(tmp_path / "v"),
+                                   shapes_per_category=6,
+                                   points_per_shape=64, seed=0,
+                                   variable_points=True)
+    ds = PartDataset(root, npoints=32, split="trainval")
+    raw_lengths = {len(ds._load(i)[1]) for i in range(len(ds))}
+    assert len(raw_lengths) > 1, "expected ragged per-shape point counts"
+    assert min(raw_lengths) >= 32 and max(raw_lengths) <= 64
