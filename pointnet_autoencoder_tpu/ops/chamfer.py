@@ -188,6 +188,160 @@ def _nn_distance_pallas(xyz1, xyz2, tile_n=_DEFAULT_TILE_N,
 
 
 # ---------------------------------------------------------------------------
+# Pallas backward kernel
+# ---------------------------------------------------------------------------
+#
+# The analytic gradient needs, per point m of cloud 2:
+#   gx2[m] = t2[m] - sum_{i: idx1[i]=m} t1[i]
+# with t1[i] = 2*g1[i]*(x1[i]-x2[idx1[i]]), t2[m] = 2*g2[m]*(x2[m]-x1[idx2[m]]).
+# The sum is a segment-sum (the reference CUDA kernel's atomicAdd scatter,
+# tf_nndistance_g.cu:132-157); XLA lowers it to an element-serial row scatter
+# that costs ~0.93 ms at the training shape. Here both the segment-sum and
+# the x1[idx2] gather are expressed as one-hot matmuls whose masks are
+# generated in VMEM per (M-tile, N-tile) block -- nothing of size (N, M)
+# touches HBM, and the MXU (idle during the scatter) does the reduction:
+#
+#   seg[m]  = sum_i 1{idx1[i]=m} * (2 g1[i] x1[i])
+#             - x2[m] * sum_i 1{idx1[i]=m} * (2 g1[i])     (factored form)
+#   x1g[m]  = sum_i 1{idx2[m]=i} * x1[i]
+#
+# Precision: the one-hot factors are exact in bf16; the value factors are
+# split v = hi + lo (both bf16) so each product is exact and only the f32
+# accumulation rounds -- the same error class as the scatter it replaces.
+
+
+def _nn_grad_direction_kernel(x1_ref, v_ref, idx1_ref, idx2_ref, acc_ref, *,
+                              tile_n: int, tile_m: int):
+    """Segment-sum + gather accumulators for one (batch, M-tile) over
+    sequential N-tiles. The output block is the cross-step accumulator
+    (same pattern as the forward kernel's running min): its index map
+    ignores the N grid dim and it is read-modified-written as a full block
+    every step.
+
+    x1_ref:   (1, TN, 9)  [hi | mid | lo] bf16 split of the x1 n-tile
+    v_ref:    (1, TN, 12) [2 g1 x1, 2 g1] hi | mid | lo bf16 split
+    idx1_ref: (1, 1, TN)  int32, lane-packed
+    idx2_ref: (1, TM, 1)  int32, sublane-packed
+    acc_ref:  (1, TM, 24) f32: [0:12] one-hot1 @ v, [12:21] one-hot2 @ x1
+    """
+    nt = pl.program_id(2)
+    m0 = pl.program_id(1) * tile_m
+    n0 = nt * tile_n
+    m_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_m, 1), 0) + m0
+    n_ids = jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1) + n0
+    o1 = (idx1_ref[0] == m_ids).astype(jnp.bfloat16)  # (TM, TN)
+    o2 = (idx2_ref[0] == n_ids).astype(jnp.bfloat16)  # (TM, TN)
+    seg = jnp.dot(o1, v_ref[0], preferred_element_type=jnp.float32)
+    gat = jnp.dot(o2, x1_ref[0], preferred_element_type=jnp.float32)
+    val = jnp.concatenate(
+        [seg, gat, jnp.zeros((tile_m, 3), jnp.float32)], axis=1)
+
+    @pl.when(nt == 0)
+    def _first():
+        acc_ref[0] = val
+
+    @pl.when(nt != 0)
+    def _accumulate():
+        acc_ref[0] = acc_ref[0] + val
+
+
+def _trunc_bf16(x):
+    """Truncate f32 to a bf16-exact value, returning (f32 value, residual).
+
+    Masks the low mantissa bits rather than using a f32->bf16->f32 convert
+    chain: XLA's excess-precision simplification is allowed to elide that
+    round-trip (convert(convert(x, bf16), f32) -> x), which silently zeroes
+    the residual and degrades the split to single bf16 rounding. The bitcast
+    is opaque to the algebraic simplifier.
+    """
+    xi = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(
+        xi & jnp.uint32(0xFFFF0000), jnp.float32)
+    return hi, x - hi
+
+
+def _split_bf16(x):
+    """x (f32) -> [hi | mid | lo] bf16 thirds along the last axis with
+    hi + mid + lo == x to ~2^-25 relative. Products against exact 0/1 masks
+    are then exact and only the f32 accumulation rounds -- the same error
+    class as the XLA scatter this kernel replaces. The extra lanes are free:
+    the MXU pads the rhs to 128 lanes either way."""
+    hi, r1 = _trunc_bf16(x)
+    mid, r2 = _trunc_bf16(r1)
+    parts = [hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16),
+             r2.astype(jnp.bfloat16)]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _pad_axis1(x, multiple, value=0):
+    rem = (-x.shape[1]) % multiple
+    if rem == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[1] = (0, rem)
+    return jnp.pad(x, pad, constant_values=value)
+
+
+def _nn_grad_one_direction_pallas(x1, g1, idx1, x2, g2, idx2,
+                                  tile_n, tile_m, interpret):
+    """gx2 (B, M, 3) given the matched indices and dist cotangents.
+
+    Padding is self-masking: padded x1 rows carry v = 0 (g1 padded with 0),
+    padded idx1 lanes point at m=0 but multiply v = 0; padded idx2 rows
+    produce garbage rows that are sliced off; padded m rows never match a
+    real idx1 value (< M).
+    """
+    b, n, _ = x1.shape
+    m = x2.shape[1]
+    v = jnp.concatenate(
+        [2.0 * g1[..., None] * x1, 2.0 * g1[..., None]], axis=-1)  # (B,N,4)
+    x1p = _pad_axis1(x1, tile_n)
+    vp = _pad_axis1(v, tile_n)
+    idx1p = jnp.pad(idx1[:, None, :],
+                    ((0, 0), (0, 0), (0, (-n) % tile_n)))  # (B, 1, Np)
+    idx2p = _pad_axis1(idx2[..., None], tile_m)
+    np_, mp = x1p.shape[1], idx2p.shape[1]
+
+    grid = (b, mp // tile_m, np_ // tile_n)  # N innermost: sequential scan
+    acc = pl.pallas_call(
+        functools.partial(_nn_grad_direction_kernel,
+                          tile_n=tile_n, tile_m=tile_m),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_n, 9), lambda bi, mt, nt: (bi, nt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n, 12), lambda bi, mt, nt: (bi, nt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_n), lambda bi, mt, nt: (bi, 0, nt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_m, 1), lambda bi, mt, nt: (bi, mt, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_m, 24), lambda bi, mt, nt: (bi, mt, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, mp, 24), jnp.float32),
+        interpret=interpret,
+    )(_split_bf16(x1p), _split_bf16(vp), idx1p, idx2p)
+    acc = acc[:, :m, :]
+    s = acc[..., 0:4] + acc[..., 4:8] + acc[..., 8:12]   # o1 @ [2 g1 x1, 2 g1]
+    x1g = acc[..., 12:15] + acc[..., 15:18] + acc[..., 18:21]  # x1[idx2]
+    t2 = 2.0 * g2[..., None] * (x2 - x1g)
+    return t2 - (s[..., 0:3] - x2 * s[..., 3:4])
+
+
+def _nn_distance_bwd_pallas(xyz1, xyz2, idx1, idx2, g_d1, g_d2,
+                            tile_n=_DEFAULT_TILE_N, tile_m=_DEFAULT_TILE_M,
+                            interpret=None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    gx2 = _nn_grad_one_direction_pallas(
+        xyz1, g_d1, idx1, xyz2, g_d2, idx2, tile_n, tile_m, interpret)
+    gx1 = _nn_grad_one_direction_pallas(
+        xyz2, g_d2, idx2, xyz1, g_d1, idx1, tile_n, tile_m, interpret)
+    return gx1, gx2
+
+
+# ---------------------------------------------------------------------------
 # custom_vjp wrapper
 # ---------------------------------------------------------------------------
 
@@ -212,9 +366,10 @@ def _nn_distance_fwd(xyz1, xyz2, impl):
 
 
 def _nn_distance_bwd(impl, res, cotangents):
-    del impl
     xyz1, xyz2, idx1, idx2 = res
     g_d1, _, g_d2, _ = cotangents  # idx cotangents are float0 / symbolic zero
+    if impl == "pallas":
+        return _nn_distance_bwd_pallas(xyz1, xyz2, idx1, idx2, g_d1, g_d2)
 
     def one(x1, x2, i1, i2, g1, g2):
         # Direction 1: each x1 point pulls toward its match in x2.

@@ -91,6 +91,26 @@ def test_impls_agree_on_large_cloud():
     np.testing.assert_array_equal(np.asarray(i2a), np.asarray(i2b))
 
 
+def test_backward_impls_agree_on_large_padded_cloud():
+    """Pallas backward kernel (one-hot matmul segment-sum) vs the XLA
+    scatter path at a size that exercises tile padding in both clouds."""
+    x1, x2 = _rand_clouds(2, 600, 513, seed=7)
+    rng = np.random.RandomState(8)
+    g_d1 = rng.randn(2, 600).astype(np.float32)
+    g_d2 = rng.randn(2, 513).astype(np.float32)
+
+    def f(impl):
+        def loss(a, b):
+            d1, _, d2, _ = chamfer.nn_distance(a, b, impl=impl)
+            return jnp.sum(d1 * g_d1) + jnp.sum(d2 * g_d2)
+
+        return jax.jit(jax.grad(loss, argnums=(0, 1)))(x1, x2)
+
+    (p1, p2), (r1, r2) = f("pallas"), f("xla")
+    np.testing.assert_allclose(p1, r1, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(p2, r2, rtol=1e-4, atol=1e-5)
+
+
 def test_nn_distance_composes_with_vmap():
     """Extra batch axis via vmap, both impls (pallas in interpret mode)."""
     x1, x2 = _rand_clouds(2, 24, 24, seed=9)
