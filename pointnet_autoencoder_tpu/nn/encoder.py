@@ -3,27 +3,127 @@
 The reference builds it as five conv2d layers 64-64-64-128-1024 over a
 (B, N, 3, 1) pseudo-image followed by a max-pool over the point axis
 (models/model.py:43-64). Here it is five per-point Dense layers -- pure
-MXU matmuls over (B*N, C) -- and a ``jnp.max`` over points.
+MXU matmuls over (B*N, C) -- and a ``jnp.max`` over points; the final
+conv5 + BN + ReLU + max stage is fused into one Pallas op on TPU
+(ops/fused_head.py) so its (B*N, 1024) activation never touches HBM.
 """
 
 from __future__ import annotations
 
+from typing import Optional
+
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from pointnet_autoencoder_tpu.nn.layers import PointMLP
+from pointnet_autoencoder_tpu.nn.layers import PointMLP, glorot
+from pointnet_autoencoder_tpu.ops import fused_head
+
+
+class _DenseParams(nn.Module):
+    """Parameter holder matching nn.Dense's tree ({kernel, bias})."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", glorot, (in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class _BNState(nn.Module):
+    """Parameter/state holder matching BatchNorm's tree ({beta, gamma} +
+    batch_stats {mean, var}); applies the moving-average update when batch
+    statistics are supplied."""
+
+    @nn.compact
+    def __call__(self, feat: int, batch_mean=None, batch_var=None,
+                 momentum=None):
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
+        )
+        beta = self.param("beta", nn.initializers.zeros, (feat,))
+        gamma = self.param("gamma", nn.initializers.ones, (feat,))
+        moving = (ra_mean.value, ra_var.value)
+        if batch_mean is not None and not self.is_initializing():
+            m = jnp.asarray(momentum, jnp.float32)
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * batch_mean
+            ra_var.value = m * ra_var.value + (1.0 - m) * batch_var
+        return moving, beta, gamma
+
+
+class FusedPointMLPMax(nn.Module):
+    """PointMLP(features) followed by max over the point axis, as one op.
+
+    The parameter tree is identical to ``PointMLP(features, name=...)``
+    (children ``dense`` and ``bn``), so checkpoints are interchangeable
+    with the unfused encoder. ``impl=None`` auto-selects the fused Pallas
+    path on TPU and the composed-XLA path elsewhere; the XLA path computes
+    statistics exactly as layers.BatchNorm does, keeping CPU numerics
+    bit-identical to the unfused head.
+    """
+
+    features: int
+    epsilon: float = 1e-3
+    dtype: jnp.dtype = jnp.float32
+    impl: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool, bn_momentum) -> jax.Array:
+        c = x.shape[-1]
+        kernel, bias = _DenseParams(self.features, name="dense")(c)
+        bn = _BNState(name="bn")
+
+        impl = self.impl or fused_head._auto_impl()
+        xc = x.astype(self.dtype)
+        kc = kernel.astype(self.dtype)
+        bc = bias.astype(self.dtype)
+
+        if impl == "pallas":
+            if train:
+                mean, var = fused_head.head_stats(xc, kc, bias)
+                (_, _), beta, gamma = bn(self.features, mean, var, bn_momentum)
+            else:
+                (mean, var), beta, gamma = bn(self.features)
+            out = fused_head.fused_dense_bn_relu_max(
+                xc, kc, bc, gamma, beta, mean, var, eps=self.epsilon,
+                impl="pallas",
+            )
+            return out.astype(x.dtype)
+
+        # Composed-XLA path: same arithmetic as PointMLP(bn=True) + max.
+        y = jnp.dot(xc, kc) + bc
+        if train:
+            yf = y.astype(jnp.float32)
+            mean = jnp.mean(yf, axis=(0, 1))
+            mean2 = jnp.mean(jnp.square(yf), axis=(0, 1))
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            (_, _), beta, gamma = bn(self.features, mean, var, bn_momentum)
+        else:
+            (mean, var), beta, gamma = bn(self.features)
+        inv = jax.lax.rsqrt(var + self.epsilon) * gamma
+        shift = beta - mean * inv
+        o = nn.relu(y * inv.astype(y.dtype) + shift.astype(y.dtype))
+        return jnp.max(o, axis=1)
 
 
 class PointNetEncoder(nn.Module):
     """(B, N, 3) points -> (B, 1024) global feature."""
 
     dtype: jnp.dtype = jnp.float32
+    head_impl: Optional[str] = None  # None = auto (pallas on TPU)
 
     @nn.compact
     def __call__(self, points, train: bool, bn_momentum) -> jnp.ndarray:
         x = points
-        for i, feats in enumerate((64, 64, 64, 128, 1024)):
+        for i, feats in enumerate((64, 64, 64, 128)):
             x = PointMLP(feats, dtype=self.dtype, name=f"conv{i + 1}")(
                 x, train, bn_momentum
             )
-        return jnp.max(x, axis=1)  # symmetric pool over the point axis
+        return FusedPointMLPMax(
+            1024, dtype=self.dtype, impl=self.head_impl, name="conv5"
+        )(x, train, bn_momentum)

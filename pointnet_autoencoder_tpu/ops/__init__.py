@@ -13,6 +13,10 @@ from pointnet_autoencoder_tpu.ops.emd import (
     emd_loss,
     match_cost,
 )
+from pointnet_autoencoder_tpu.ops.fused_head import (
+    fused_dense_bn_relu_max,
+    head_stats,
+)
 
 __all__ = [
     "nn_distance",
@@ -21,4 +25,6 @@ __all__ = [
     "match_cost",
     "emd_cost",
     "emd_loss",
+    "fused_dense_bn_relu_max",
+    "head_stats",
 ]
