@@ -82,6 +82,27 @@ def main() -> None:
 
     n_chips = len(jax.devices())
     shapes_per_sec_per_chip = batch_size * iters / best_dt / n_chips
+
+    # Secondary tracked metric: the model_emd train step (VERDICT round-1
+    # flagged its EMD-dominated step time; keep it driver-visible).
+    emd_spec = get_model_spec("model_emd")
+    emd_model, emd_vars = emd_spec.init_variables(
+        jax.random.PRNGKey(0), num_point, dtype=jnp.bfloat16)
+    emd_state = meshlib.replicate(mesh, TrainState.create(emd_vars, tx))
+    emd_train_step, _ = make_step_fns(emd_model, emd_spec, tx, bn, lr)
+    emd_step = jax.jit(emd_train_step, donate_argnums=(0,))
+    for i in range(2):
+        emd_state, emd_metrics = emd_step(emd_state, batches[i % 2])
+    float(emd_metrics["loss"])
+    emd_iters, emd_best = 40, float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(emd_iters):
+            emd_state, emd_metrics = emd_step(emd_state, batches[i % 2])
+        float(emd_metrics["loss"])
+        emd_best = min(emd_best, time.perf_counter() - t0)
+    emd_shapes_per_sec = batch_size * emd_iters / emd_best / n_chips
+
     print(json.dumps({
         "metric": "train_throughput_model_b32_n2048",
         "value": round(shapes_per_sec_per_chip, 2),
@@ -89,6 +110,13 @@ def main() -> None:
         "vs_baseline": round(
             shapes_per_sec_per_chip / BASELINE_SHAPES_PER_SEC, 3
         ),
+        "extras": {
+            "model_step_ms": round(
+                1e3 * best_dt / iters, 3),
+            "model_emd_step_ms": round(1e3 * emd_best / emd_iters, 3),
+            "model_emd_shapes_per_sec_per_chip": round(
+                emd_shapes_per_sec, 2),
+        },
     }))
 
 
