@@ -270,15 +270,13 @@ def emd_cost(xyz1: jax.Array, xyz2: jax.Array,
     the plan. impl: "pallas" (default on TPU; fully fused, zero O(N*M) HBM
     traffic) or "xla" (dense scan)."""
     if impl is None:
-        if jax.default_backend() == "tpu":
-            # Dense XLA is ~14% faster at small sizes; the fused Pallas
-            # kernel has no O(N*M) HBM footprint, so it takes over when the
-            # dense path's per-level (B,N,M) transients would get heavy.
-            b, n = xyz1.shape[0], xyz1.shape[1]
-            m = xyz2.shape[1]
-            impl = "pallas" if b * n * m * 4 > (1 << 30) else "xla"
-        else:
-            impl = "xla"
+        # The round-3 fused kernel (d2 cached in VMEM, one exp per fused
+        # sweep pair, base-2 exponentials) beats the dense XLA path 2.6x at
+        # the training shape (11.1 vs 29.2 ms at B=32, N=M=2048) on top of
+        # having no O(N*M) HBM footprint, so Pallas is simply the TPU
+        # default; emd_forward_pallas itself falls back to dense for
+        # shapes the kernel doesn't support.
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     return _emd_cost(xyz1.astype(jnp.float32), xyz2.astype(jnp.float32),
                      impl)
 

@@ -3,11 +3,10 @@
 The TPU-native endpoint of the reference's three CUDA kernels
 (tf_approxmatch_g.cu: approxmatch, matchcost, matchcostgrad): one kernel
 per batch element runs all 10 annealing rounds, accumulating the transport
-cost and its plan-constant gradients on the fly. Nothing of size N*M ever
-touches HBM -- the pairwise terms are recomputed per tile in VMEM (exp is
-cheap, bandwidth is not), the only HBM traffic is the input clouds and the
-(N+M)*3-sized outputs. The reference instead materializes the (B,M,N) plan
-in device memory (tf_approxmatch.cpp:163-166) and reads it back twice.
+cost and its plan-constant gradients on the fly. The only HBM traffic is
+the input clouds and the (N+M)*3-sized outputs. The reference instead
+materializes the (B,M,N) plan in device memory (tf_approxmatch.cpp:163-166)
+and reads it back twice.
 
 Orientation scheme (avoids every in-kernel transpose):
   - pairwise tiles are always (TN, M): xyz1 coordinates load as (TN, 1)
@@ -18,11 +17,35 @@ Orientation scheme (avoids every in-kernel transpose):
   - per-m state (remainR, ratioR, sumr) lives as (1, M) rows carried
     through the loop (sublane-axis reductions produce rows);
   - grad2 is emitted transposed as (3, M) rows and swapped back by XLA.
+
+Round-3 structure (docs/ARCHITECTURE.md has the measured history):
+  - The pairwise squared distances are level-independent, so they are
+    computed ONCE into a (N, M) f32 VMEM scratch and reused by all 10
+    annealing levels (v5e VMEM is ~128 MB; Mosaic's default cap had to be
+    raised). For clouds too large to cache, the same kernel recomputes d2
+    per pass (`cache_d2=False`).
+  - Sweeps 1 (row normalize) and 2 (column saturation) fuse into one pass
+    per level sharing a single exp evaluation: ratioL for a row depends
+    only on that row's lane-sum, so each (TN, M) tile can compute its
+    ratioL rows and immediately contribute k * ratioL to the running
+    column sums -- bit-identical to the separate sweeps, one exp cheaper.
+
+  - exp(level*d2) is evaluated as exp2(level*log2(e)*d2) -- base-2 is the
+    VPU's native exponential -- and the cost term w*sqrt(d2) is computed
+    as wr*d2 with wr = w*rsqrt(d2), eliding the sqrt. Both are
+    numerically equivalent (measured identical error vs the dense path).
+
+Per pair per level this costs 2 exp and (amortized) ~0.1 d2 evaluations
+instead of the 3 exp + 3 d2 of the round-1 kernel; an (m-tiled, full-N
+resident) restructure with a lower op count measured slower and was
+rejected -- see ARCHITECTURE.md. Measured 23.8 -> 11.1 ms at B=32,
+N=M=2048 (2.6x faster than the dense XLA path in the same session).
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -30,9 +53,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NUM_LEVELS = 10  # j = 7..-2 (tf_approxmatch_g.cu:21-25); last level is 0
+_LOG2E = math.log2(math.e)
+
+# v5e VMEM is ~128 MB; leave headroom for double-buffered IO + temporaries.
+_VMEM_LIMIT = 100 * 1024 * 1024
+_D2_CACHE_BUDGET = 48 * 1024 * 1024
 
 
-def _pick_tile_n(n: int, m: int, vmem_budget: int = 6 * 1024 * 1024) -> int:
+def _pick_tile_n(n: int, m: int, vmem_budget: int = 24 * 1024 * 1024) -> int:
     """Largest divisor of n (multiple of 8, <=512) whose (TN, M) f32 tiles
     fit the budget with ~4 live buffers."""
     limit = max(8, vmem_budget // (4 * 4 * m))
@@ -44,7 +72,7 @@ def _pick_tile_n(n: int, m: int, vmem_budget: int = 6 * 1024 * 1024) -> int:
 
 
 def _emd_kernel(xyz1_ref, x2t_ref, cost_ref, grad1_ref, grad2t_ref,
-                remain_l, ratio_l, *, n: int, m: int, tile_n: int,
+                remain_l, ratio_l, d2c=None, *, n: int, m: int, tile_n: int,
                 multi_l: float, multi_r: float):
     f32 = jnp.float32
     nt = n // tile_n
@@ -62,58 +90,68 @@ def _emd_kernel(xyz1_ref, x2t_ref, cost_ref, grad1_ref, grad2t_ref,
         return (xyz1_ref[0, idx, 0:1], xyz1_ref[0, idx, 1:2],
                 xyz1_ref[0, idx, 2:3])
 
-    def d2_tile(t):
+    def d2_compute(t):
         x1x, x1y, x1z = coords(t)
         dx = x1x - x2x  # (TN, M)
         dy = x1y - x2y
         dz = x1z - x2z
-        return dx, dy, dz, dx * dx + dy * dy + dz * dz
+        return dx * dx + dy * dy + dz * dz
+
+    if d2c is not None:
+        # Distances are level-independent: fill the cache once, reuse for
+        # all 10 levels x 2 passes.
+        def fill(t, _):
+            d2c[pl.ds(t * tile_n, tile_n), :] = d2_compute(t)
+            return 0
+
+        jax.lax.fori_loop(0, nt, fill, 0)
+
+        def d2_of(t):
+            return d2c[pl.ds(t * tile_n, tile_n), :]
+    else:
+        d2_of = d2_compute
 
     def level_body(li, carry):
         remain_r, cost = carry  # (1, M), (1, 1)
-        # level = -4^j with j = 7 - li, except the final round is 0.
-        level = jnp.where(
+        # level = -4^j with j = 7 - li, except the final round is 0; folded
+        # with log2(e) so the kernel evaluates exp2 (the VPU primitive).
+        level2 = jnp.where(
             li == _NUM_LEVELS - 1,
             jnp.float32(0.0),
-            -jnp.exp2(2.0 * (7.0 - li.astype(f32))),
+            -_LOG2E * jnp.exp2(2.0 * (7.0 - li.astype(f32))),
         )
 
-        # Sweep 1: row normalizers ratioL = remainL / (1e-9 + K @ remainR).
-        def s1(t, _):
+        # Pass A: fused sweeps 1+2 -- row normalizers ratioL =
+        # remainL / (1e-9 + K @ remainR), and the column saturation sums
+        # K^T @ ratioL, sharing one exp tile (ratioL rows are tile-local).
+        def sa(t, colacc):
             idx = pl.ds(t * tile_n, tile_n)
-            _, _, _, d2 = d2_tile(t)
-            w = jnp.exp(level * d2) * remain_r
-            suml = jnp.sum(w, axis=1, keepdims=True) + 1e-9  # (TN, 1)
-            ratio_l[idx, :] = remain_l[idx, :] / suml
-            return 0
+            k = jnp.exp2(level2 * d2_of(t))
+            suml = jnp.sum(k * remain_r, axis=1, keepdims=True) + 1e-9
+            rl = remain_l[idx, :] / suml
+            ratio_l[idx, :] = rl
+            return colacc + jnp.sum(k * rl, axis=0, keepdims=True)  # (1, M)
 
-        jax.lax.fori_loop(0, nt, s1, 0)
-
-        # Sweep 2: column saturation.
-        def s2(t, sumr):
-            idx = pl.ds(t * tile_n, tile_n)
-            _, _, _, d2 = d2_tile(t)
-            k = jnp.exp(level * d2) * ratio_l[idx, :]
-            return sumr + jnp.sum(k, axis=0, keepdims=True)  # (1, M)
-
-        sumr = jax.lax.fori_loop(0, nt, s2, jnp.zeros((1, m), f32))
+        sumr = jax.lax.fori_loop(0, nt, sa, jnp.zeros((1, m), f32))
         sumr = sumr * remain_r
         consumption = jnp.minimum(remain_r / (sumr + 1e-9), 1.0)
         ratio_r = consumption * remain_r
         remain_r = jnp.maximum(0.0, remain_r - sumr)
 
-        # Sweep 3: transported mass -> cost, grads, remaining capacities.
-        def s3(t, cost):
+        # Pass B (sweep 3): transported mass -> cost, grads, capacities.
+        def sb(t, cost):
             idx = pl.ds(t * tile_n, tile_n)
-            dx, dy, dz, d2 = d2_tile(t)
-            w = jnp.exp(level * d2) * ratio_l[idx, :] * ratio_r  # (TN, M)
+            d2 = d2_of(t)
+            w = jnp.exp2(level2 * d2) * ratio_l[idx, :] * ratio_r  # (TN, M)
             remain_l[idx, :] = jnp.maximum(
                 0.0, remain_l[idx, :] - jnp.sum(w, axis=1, keepdims=True)
             )
-            cost = cost + jnp.sum(w * jnp.sqrt(d2)).reshape(1, 1)
             wr = w * jax.lax.rsqrt(jnp.maximum(d2, 1e-20))
-            for c, dc in ((0, dx), (1, dy), (2, dz)):
-                wd = wr * dc
+            # w * sqrt(d2) == wr * d2: the rsqrt already paid for the root.
+            cost = cost + jnp.sum(wr * d2).reshape(1, 1)
+            x1x, x1y, x1z = coords(t)
+            for c, x1c, x2c in ((0, x1x, x2x), (1, x1y, x2y), (2, x1z, x2z)):
+                wd = wr * (x1c - x2c)
                 grad1_ref[0, idx, c:c + 1] = (
                     grad1_ref[0, idx, c:c + 1]
                     + jnp.sum(wd, axis=1, keepdims=True)
@@ -124,7 +162,7 @@ def _emd_kernel(xyz1_ref, x2t_ref, cost_ref, grad1_ref, grad2t_ref,
                 )
             return cost
 
-        cost = jax.lax.fori_loop(0, nt, s3, cost)
+        cost = jax.lax.fori_loop(0, nt, sb, cost)
         return remain_r, cost
 
     init = (jnp.full((1, m), multi_r, f32), jnp.zeros((1, 1), f32))
@@ -155,6 +193,7 @@ def emd_forward_pallas(xyz1: jax.Array, xyz2: jax.Array,
         multi_l, multi_r = 1.0, float(n // m)
     else:
         multi_l, multi_r = float(m // n), 1.0
+    cache_d2 = n * m * 4 <= _D2_CACHE_BUDGET
 
     x1 = xyz1.astype(jnp.float32)
     x2t = jnp.swapaxes(xyz2.astype(jnp.float32), 1, 2)  # (B, 3, M)
@@ -163,6 +202,12 @@ def emd_forward_pallas(xyz1: jax.Array, xyz2: jax.Array,
         _emd_kernel, n=n, m=m, tile_n=tile_n,
         multi_l=multi_l, multi_r=multi_r,
     )
+    scratch = [
+        pltpu.VMEM((n, 1), jnp.float32),  # remainL
+        pltpu.VMEM((n, 1), jnp.float32),  # ratioL
+    ]
+    if cache_d2:
+        scratch.append(pltpu.VMEM((n, m), jnp.float32))  # d2 cache
     cost, grad1, grad2t = pl.pallas_call(
         kernel,
         grid=(b,),
@@ -185,10 +230,8 @@ def emd_forward_pallas(xyz1: jax.Array, xyz2: jax.Array,
             jax.ShapeDtypeStruct((b, n, 3), jnp.float32),
             jax.ShapeDtypeStruct((b, 3, m), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((n, 1), jnp.float32),  # remainL
-            pltpu.VMEM((n, 1), jnp.float32),  # ratioL
-        ],
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(x1, x2t)
     return cost[:, 0, 0], grad1, jnp.swapaxes(grad2t, 1, 2)

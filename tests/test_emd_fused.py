@@ -97,3 +97,18 @@ def test_fused_cost_upstream_cotangent_scaling():
     )
     np.testing.assert_allclose(np.asarray(g), 2.5 * np.asarray(g1),
                                rtol=1e-5)
+
+
+def test_pallas_fused_uncached_d2_branch_matches(monkeypatch):
+    """Clouds past the d2-cache budget take the recompute-per-pass branch;
+    both branches must agree exactly (same arithmetic, cached or not)."""
+    from pointnet_autoencoder_tpu.ops import emd_pallas
+
+    x1, x2 = _clouds(2, 32, 24, seed=8)
+    cached = emd_pallas.emd_forward_pallas(
+        jnp.asarray(x1), jnp.asarray(x2), interpret=True)
+    monkeypatch.setattr(emd_pallas, "_D2_CACHE_BUDGET", 0)
+    uncached = emd_pallas.emd_forward_pallas(
+        jnp.asarray(x1), jnp.asarray(x2), interpret=True)
+    for a, b in zip(cached, uncached):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
