@@ -236,6 +236,14 @@ class Trainer:
         cfg = self.config
         log = self.logger
         num_batches = len(self.train_pipe)
+        if num_batches == 0:
+            # The reference's len//batch_size semantics make this a silent
+            # no-op epoch (train.py:187); surface it instead.
+            log.log(
+                f"WARNING: 0 train batches (dataset has "
+                f"{len(self.train_dataset)} shapes < batch_size "
+                f"{cfg.batch_size}); epoch is a no-op"
+            )
         pending = []  # device-resident metric dicts; fetched at log boundaries
         t0 = time.time()
         shapes = 0
