@@ -174,6 +174,22 @@ def test_module_impls_agree(train):
         stats["xla"], stats["pallas"])
 
 
+def test_module_impls_agree_bf16():
+    """The training configuration runs the head in bf16; the two impls must
+    agree to bf16 resolution."""
+    x = jnp.asarray(np.random.RandomState(7).randn(2, 32, 8), jnp.float32)
+    variables = FusedPointMLPMax(128, dtype=jnp.bfloat16).init(
+        jax.random.PRNGKey(0), x, train=False, bn_momentum=0.9)
+    outs = {}
+    for impl in ("xla", "pallas"):
+        mod = FusedPointMLPMax(128, dtype=jnp.bfloat16, impl=impl)
+        out, _ = mod.apply(variables, x, train=True, bn_momentum=0.5,
+                           mutable=["batch_stats"])
+        outs[impl] = np.asarray(out, np.float32)
+    np.testing.assert_allclose(outs["xla"], outs["pallas"],
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_module_xla_path_matches_unfused_bitwise():
     """The composed-XLA path must reproduce PointMLP+max exactly (same
     arithmetic), so CPU behavior is unchanged by the fusion refactor."""
