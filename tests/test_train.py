@@ -128,3 +128,20 @@ def test_trainer_host_input_mode(fixture_root, tmp_path):
     trainer = Trainer(cfg)
     best = trainer.train()
     assert np.isfinite(best)
+
+
+def test_trainer_warns_on_zero_batch_epoch(fixture_root, tmp_path):
+    """batch_size > dataset makes every epoch a reference-semantics no-op
+    (len//batch == 0); the trainer must say so instead of silently idling."""
+    log_dir = str(tmp_path / "log")
+    cfg = TrainConfig(
+        model="model", category="Chair", log_dir=log_dir, num_point=64,
+        max_epoch=1, batch_size=4096, data_path=fixture_root, seed=0,
+    )
+    from pointnet_autoencoder_tpu.train.loop import Trainer
+
+    trainer = Trainer(cfg)
+    trainer.train()
+    with open(os.path.join(log_dir, "log_train.txt")) as f:
+        log = f.read()
+    assert "0 train batches" in log and "no-op" in log
