@@ -37,19 +37,11 @@ def main() -> None:
     )
 
     batch_size, num_point = 32, 2048
-    spec = get_model_spec("model")
-    # Default training config: bf16 matmuls (convergence-equivalent to f32,
-    # demonstrated in docs/ARCHITECTURE.md; losses and BN stay f32).
-    model, variables = spec.init_variables(jax.random.PRNGKey(0), num_point,
-                                           dtype=jnp.bfloat16)
+    mesh = meshlib.make_mesh()
+    n_chips = len(jax.devices())
     lr = schedules.learning_rate_schedule(0.001, 0.7, batch_size, 200000)
     bn = schedules.bn_momentum_schedule(batch_size, 200000)
     tx = make_optimizer("adam", lr)
-
-    mesh = meshlib.make_mesh()
-    state = meshlib.replicate(mesh, TrainState.create(variables, tx))
-    train_step, _ = make_step_fns(model, spec, tx, bn, lr)
-    step = jax.jit(train_step, donate_argnums=(0,))
 
     # Two on-device batches, alternated so no result is trivially cached.
     batches = [
@@ -61,47 +53,41 @@ def main() -> None:
         for i in range(2)
     ]
 
-    # Warmup/compile. NOTE: on the axon tunnel backend block_until_ready
-    # does NOT synchronize with device completion; a host fetch of a scalar
-    # is the only reliable barrier, so timing always ends with float(...).
-    for i in range(3):
-        state, metrics = step(state, batches[i % 2])
-    float(metrics["loss"])
+    def time_step(spec_name: str, iters: int, windows: int) -> float:
+        """Best-of-windows seconds per jitted donated train step.
 
-    # The tunneled TPU shows heavy run-to-run variance (shared backend);
-    # take the best of several windows -- the least-contended window is the
-    # closest estimate of the device's actual step time.
-    iters, windows = 150, 5
-    best_dt = float("inf")
-    for _ in range(windows):
-        t0 = time.perf_counter()
-        for i in range(iters):
+        Timing discipline (see CLAUDE.md): on the axon tunnel backend
+        block_until_ready does NOT synchronize with device completion; a
+        host fetch of a scalar is the only reliable barrier, so every
+        window ends with float(...). Best-of-windows because the shared
+        backend shows heavy run-to-run contention variance -- the least-
+        contended window is the closest estimate of the device step time.
+        """
+        spec = get_model_spec(spec_name)
+        # Default training config: bf16 matmuls (convergence-equivalent to
+        # f32, per docs/ARCHITECTURE.md; losses and BN stay f32).
+        model, variables = spec.init_variables(
+            jax.random.PRNGKey(0), num_point, dtype=jnp.bfloat16)
+        state = meshlib.replicate(mesh, TrainState.create(variables, tx))
+        train_step, _ = make_step_fns(model, spec, tx, bn, lr)
+        step = jax.jit(train_step, donate_argnums=(0,))
+        for i in range(3):
             state, metrics = step(state, batches[i % 2])
-        float(metrics["loss"])  # device barrier: forces the whole chain
-        best_dt = min(best_dt, time.perf_counter() - t0)
+        float(metrics["loss"])
+        best_dt = float("inf")
+        for _ in range(windows):
+            t0 = time.perf_counter()
+            for i in range(iters):
+                state, metrics = step(state, batches[i % 2])
+            float(metrics["loss"])  # device barrier: forces the whole chain
+            best_dt = min(best_dt, time.perf_counter() - t0)
+        return best_dt / iters
 
-    n_chips = len(jax.devices())
-    shapes_per_sec_per_chip = batch_size * iters / best_dt / n_chips
-
+    step_s = time_step("model", iters=150, windows=5)
+    shapes_per_sec_per_chip = batch_size / step_s / n_chips
     # Secondary tracked metric: the model_emd train step (VERDICT round-1
     # flagged its EMD-dominated step time; keep it driver-visible).
-    emd_spec = get_model_spec("model_emd")
-    emd_model, emd_vars = emd_spec.init_variables(
-        jax.random.PRNGKey(0), num_point, dtype=jnp.bfloat16)
-    emd_state = meshlib.replicate(mesh, TrainState.create(emd_vars, tx))
-    emd_train_step, _ = make_step_fns(emd_model, emd_spec, tx, bn, lr)
-    emd_step = jax.jit(emd_train_step, donate_argnums=(0,))
-    for i in range(2):
-        emd_state, emd_metrics = emd_step(emd_state, batches[i % 2])
-    float(emd_metrics["loss"])
-    emd_iters, emd_best = 40, float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for i in range(emd_iters):
-            emd_state, emd_metrics = emd_step(emd_state, batches[i % 2])
-        float(emd_metrics["loss"])
-        emd_best = min(emd_best, time.perf_counter() - t0)
-    emd_shapes_per_sec = batch_size * emd_iters / emd_best / n_chips
+    emd_step_s = time_step("model_emd", iters=40, windows=3)
 
     print(json.dumps({
         "metric": "train_throughput_model_b32_n2048",
@@ -111,11 +97,10 @@ def main() -> None:
             shapes_per_sec_per_chip / BASELINE_SHAPES_PER_SEC, 3
         ),
         "extras": {
-            "model_step_ms": round(
-                1e3 * best_dt / iters, 3),
-            "model_emd_step_ms": round(1e3 * emd_best / emd_iters, 3),
+            "model_step_ms": round(1e3 * step_s, 3),
+            "model_emd_step_ms": round(1e3 * emd_step_s, 3),
             "model_emd_shapes_per_sec_per_chip": round(
-                emd_shapes_per_sec, 2),
+                batch_size / emd_step_s / n_chips, 2),
         },
     }))
 

@@ -42,8 +42,11 @@ def optimize(target: np.ndarray, npoint: int, steps: int = 3000,
     )
     tgt = jnp.asarray(target)
 
+    # tgt is a jit ARGUMENT, not a closure constant: on the axon backend a
+    # closed-over-constant gather/scatter graph produces deterministically
+    # wrong results (see CLAUDE.md environment gotchas).
     @jax.jit
-    def step(pts):
+    def step(pts, tgt):
         def loss_fn(p):
             return jnp.sum(emd.emd_cost(tgt, p))
 
@@ -51,7 +54,7 @@ def optimize(target: np.ndarray, npoint: int, steps: int = 3000,
         return pts - lr * g, loss
 
     for _ in range(steps):
-        points, loss = step(points)
+        points, loss = step(points, tgt)
     print(f"final EMD loss: {float(loss):.4f}")
     return np.asarray(points)
 

@@ -26,7 +26,6 @@ import argparse
 import datetime
 import json
 import os
-import re
 import sys
 import time
 
@@ -113,11 +112,13 @@ def run(argv=None) -> dict:
     best_loss = trainer.train()
     wall = time.time() - t0
 
-    # best_loss is the model's eval *loss*; recover the raw Chamfer (pcloss)
-    # scale for the headline number: the flagship's loss = pcloss * 100.
-    best_chamfer = best_loss / 100.0 if args.model in (
-        "model", "model_cpu", "model_upconv", "model_fc_upconv",
-        "model_hierachy") else best_loss
+    # The headline Chamfer comes from the eval 'pcloss' metric (raw mean
+    # Chamfer, models/model.py:82), which every loss family reports --
+    # dividing the *loss* by 100 would be wrong for model_emd (loss is the
+    # EMD cost) and model_hierachy (loss includes the 0.1x center term).
+    best_chamfer = _best_eval_pcloss(args.log_dir)
+    if best_chamfer is None:
+        best_chamfer = float("nan")
     import jax
 
     steps = int(jax.device_get(trainer.state.step))
@@ -153,13 +154,31 @@ def _backend_name() -> str:
     return f"{jax.default_backend()} x{len(jax.devices())}"
 
 
+def _best_eval_pcloss(log_dir: str):
+    """Min test-split 'pcloss' from the run's scalars.jsonl, or None if
+    eval never ran (e.g. test split smaller than one batch)."""
+    path = os.path.join(log_dir, "scalars.jsonl")
+    best = None
+    if os.path.exists(path):
+        with open(path) as f:
+            for ln in f:
+                try:
+                    rec = json.loads(ln)
+                except ValueError:
+                    continue
+                if rec.get("split") == "test" and "pcloss" in rec:
+                    v = float(rec["pcloss"])
+                    best = v if best is None else min(best, v)
+    return best
+
+
 def _append_results(path: str, record: dict, is_real: bool) -> None:
     header = "## Real-data parity runs"
     line = (f"| {record['date']} | {'REAL' if is_real else 'fixture'} "
             f"| `{record['command']}` | {record['best_eval_chamfer']:.4f} "
             f"| {record['throughput_shapes_per_sec']:.0f} shapes/s "
             f"| {record['wall_seconds']:.0f}s | {record['backend']} |\n")
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     text = ""
     if os.path.exists(path):
         with open(path) as f:
@@ -176,7 +195,6 @@ def _append_results(path: str, record: dict, is_real: bool) -> None:
         )
     # Insert the row right after the table header inside our section.
     marker = "|---|---|---|---|---|---|---|\n"
-    idx = text.index(marker) if marker in text else len(text)
     if marker in text:
         at = text.index(marker, text.index(header)) + len(marker)
         text = text[:at] + line + text[at:]

@@ -85,7 +85,9 @@ class FusedPointMLPMax(nn.Module):
 
         if impl == "pallas":
             if train:
-                mean, var = fused_head.head_stats(xc, kc, bias)
+                # bc, not bias: the kernel folds the dtype-cast bias into
+                # its affine, so the statistics must describe y = x@kc + bc.
+                mean, var = fused_head.head_stats(xc, kc, bc)
                 (_, _), beta, gamma = bn(self.features, mean, var, bn_momentum)
             else:
                 (mean, var), beta, gamma = bn(self.features)

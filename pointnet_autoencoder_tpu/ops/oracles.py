@@ -158,3 +158,22 @@ def match_cost_grad_np(xyz1, xyz2, match):
         g1[i] = (w[:, :, None] * diff).sum(axis=1)
         g2[i] = -(w[:, :, None] * diff).sum(axis=0)
     return g1.astype(np.float32), g2.astype(np.float32)
+
+
+def fused_head_np(x, w, b, gamma, beta, mean, var, eps=1e-3):
+    """Oracle for ops/fused_head.fused_dense_bn_relu_max: max over the
+    point axis of relu(batchnorm(x @ w + b)) with externally supplied
+    statistics, plus the argmax (first-maximum tie-break) the backward
+    keys on. Same composition the reference builds from tf_util.conv2d +
+    batch_norm + relu + max-pool (models/model.py:58-64), in float64 for
+    a precision margin over the f32 device paths.
+
+    Returns (maxout (B, F), argmax (B, F) int32).
+    """
+    x64 = np.asarray(x, np.float64)
+    y = x64 @ np.asarray(w, np.float64) + np.asarray(b, np.float64)
+    inv = 1.0 / np.sqrt(np.asarray(var, np.float64) + eps)
+    o = np.asarray(gamma, np.float64) * (y - np.asarray(mean, np.float64)) \
+        * inv + np.asarray(beta, np.float64)
+    o = np.maximum(o, 0.0)
+    return o.max(axis=1), o.argmax(axis=1).astype(np.int32)

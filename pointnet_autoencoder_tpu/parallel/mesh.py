@@ -62,14 +62,17 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
-# Env markers of the cluster schedulers jax.distributed can auto-detect
-# (jax._src.clusters: SLURM, Open MPI / PRRTE, Kubernetes). Cloud TPU pods
-# are detected by jax via the metadata server, not an env var.
+# Env markers of the *job launchers* jax.distributed can auto-detect
+# (jax._src.clusters: SLURM, Open MPI / PRRTE). Cloud TPU pods are detected
+# by jax via the metadata server, not an env var. Deliberately NOT listed:
+# KUBERNETES_SERVICE_HOST -- it is set in every k8s pod, including ordinary
+# single-process jobs, where an unconditional jax.distributed.initialize()
+# would crash startup ('coordinator_address should be defined'); on k8s,
+# multi-host runs opt in via the explicit JAX_COORDINATOR_ADDRESS route.
 _CLUSTER_ENV_MARKERS = (
     "SLURM_JOB_ID",
     "PRTE_LAUNCHED",          # Open MPI >= 5
     "OMPI_MCA_orte_hnp_uri",  # Open MPI < 5
-    "KUBERNETES_SERVICE_HOST",
 )
 
 
@@ -77,12 +80,13 @@ def initialize_distributed_if_requested() -> bool:
     """Multi-host hook: brings up jax.distributed when a cluster is visible.
 
     Launch recipe (one process per host):
-      * under SLURM / Open MPI / k8s, or on a Cloud TPU pod slice: nothing
-        to configure -- ``jax.distributed.initialize()`` auto-detects the
+      * under SLURM / Open MPI, or on a Cloud TPU pod slice: nothing to
+        configure -- ``jax.distributed.initialize()`` auto-detects the
         cluster and this returns True;
-      * anywhere else: export JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES,
-        and JAX_PROCESS_ID on every host and they are passed through
-        explicitly.
+      * anywhere else (incl. Kubernetes, whose env var is present in every
+        pod and therefore cannot serve as a multi-host signal): export
+        JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, and JAX_PROCESS_ID on
+        every host and they are passed through explicitly.
 
     The reference is single-process (SURVEY.md section 2.3), so multi-host
     stays opt-in: once initialized, every mesh built here spans all

@@ -55,6 +55,31 @@ def test_head_stats_matches_direct_moments():
     np.testing.assert_allclose(var, dvar, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("b,n,c,f", [(3, 48, 16, 128), (2, 64, 8, 256)])
+def test_forward_matches_numpy_oracle(b, n, c, f):
+    """Both impls against the independent float64 numpy oracle (per the
+    ops/ convention: compare to a host oracle, not another device program),
+    including the argmax the backward keys on."""
+    from pointnet_autoencoder_tpu.ops import oracles
+
+    x, w, bias, gamma, beta = _inputs(b, n, c, f, seed=11)
+    mean, var = _batch_stats(x, w, bias)
+    ref_max, ref_arg = oracles.fused_head_np(
+        x, w, bias, gamma, beta, np.asarray(mean), np.asarray(var), eps=EPS)
+    for impl in ("xla", "pallas"):
+        out = jax.jit(
+            lambda *a: fused_head.fused_dense_bn_relu_max(
+                *a, eps=EPS, impl=impl)
+        )(x, w, bias, gamma, beta, mean, var)
+        np.testing.assert_allclose(out, ref_max, rtol=1e-5, atol=1e-5)
+    scale, shift = fused_head._fold_affine(
+        jnp.asarray(bias), jnp.asarray(gamma), jnp.asarray(beta),
+        mean, var, EPS)
+    _, arg = fused_head._forward_pallas(
+        jnp.asarray(x), jnp.asarray(w), scale, shift, interpret=True)
+    np.testing.assert_array_equal(np.asarray(arg), ref_arg)
+
+
 @pytest.mark.parametrize("b,n,c,f", [(3, 48, 16, 128), (2, 64, 8, 256),
                                      (1, 8, 3, 128)])
 def test_forward_parity_across_impls(b, n, c, f):
