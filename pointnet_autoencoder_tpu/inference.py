@@ -27,6 +27,9 @@ from pointnet_autoencoder_tpu.train.checkpoint import CheckpointManager
 from pointnet_autoencoder_tpu.train.state import TrainState, make_optimizer
 
 
+_BUNDLE_META = "bundle_meta.json"
+
+
 def _optimizer_candidates(ckpt_dir: str):
     """(optimizer_name, momentum) guesses for a checkpoint directory, best
     first: the run's snapshotted config.json if present, then every known
@@ -62,12 +65,41 @@ class InferenceSession:
 
     def __init__(self, model: str, model_path: str, num_point: int,
                  batch_size: int = 32):
+        self.model_name = model
         self.num_point = num_point
         self.batch_size = batch_size
         spec = get_model_spec(model)
         self._model, variables = spec.init_variables(
             jax.random.PRNGKey(0), num_point
         )
+        if os.path.exists(os.path.join(model_path, _BUNDLE_META)):
+            # Params-only serving bundle (see export_bundle): restores
+            # without reconstructing any optimizer state.
+            mgr = CheckpointManager(os.path.dirname(
+                os.path.abspath(model_path)) or ".")
+            self._variables = mgr.restore(
+                os.path.join(model_path, "variables.ckpt"),
+                {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]},
+            )
+        else:
+            self._variables = self._restore_train_ckpt(model_path, variables)
+
+        def fwd(points):
+            pred, end_points = self._model.apply(
+                self._variables, points, train=False, bn_momentum=0.0
+            )
+            return pred, end_points["embedding"]
+
+        self._fwd = jax.jit(fwd)
+
+        def per_shape_chamfer(pred, target):
+            d1, _, d2, _ = nn_distance(pred, target)
+            return jnp.mean(d1, axis=1) + jnp.mean(d2, axis=1)
+
+        self._chamfer = jax.jit(per_shape_chamfer)
+
+    def _restore_train_ckpt(self, model_path: str, variables):
         # The stored tree is {state: TrainState, epoch, best_loss}; only
         # params/batch_stats matter for inference but the abstract tree must
         # match the stored structure -- including the optimizer slots, which
@@ -96,24 +128,39 @@ class InferenceSession:
                 f"could not restore {model_path} with any known optimizer "
                 f"state layout:\n" + "\n".join(errors)
             )
-        self._variables = {
+        return {
             "params": restored["state"].params,
             "batch_stats": restored["state"].batch_stats,
         }
 
-        def fwd(points):
-            pred, end_points = self._model.apply(
-                self._variables, points, train=False, bn_momentum=0.0
-            )
-            return pred, end_points["embedding"]
+    # -- serving bundles ------------------------------------------------------
 
-        self._fwd = jax.jit(fwd)
+    def export_bundle(self, out_dir: str) -> str:
+        """Write a params-only serving bundle: the inference variables plus
+        a metadata file, ~3x smaller than a training checkpoint (no
+        optimizer slots) and restorable without knowing the optimizer.
+        Load with ``InferenceSession.from_bundle``; the reference has no
+        analog (test.py restores the full Saver state, test.py:51)."""
+        out_dir = os.path.abspath(out_dir)
+        mgr = CheckpointManager(os.path.dirname(out_dir) or ".")
+        os.makedirs(out_dir, exist_ok=True)
+        mgr.save_tree(os.path.join(out_dir, "variables.ckpt"),
+                      jax.device_get(self._variables))
+        with open(os.path.join(out_dir, _BUNDLE_META), "w") as f:
+            json.dump({"format": "pcae-bundle-v1",
+                       "model": self.model_name,
+                       "num_point": self.num_point}, f)
+        return out_dir
 
-        def per_shape_chamfer(pred, target):
-            d1, _, d2, _ = nn_distance(pred, target)
-            return jnp.mean(d1, axis=1) + jnp.mean(d2, axis=1)
-
-        self._chamfer = jax.jit(per_shape_chamfer)
+    @classmethod
+    def from_bundle(cls, bundle_dir: str,
+                    batch_size: int = 32) -> "InferenceSession":
+        """Open a bundle written by ``export_bundle``; model name and
+        num_point come from the bundle's metadata."""
+        with open(os.path.join(bundle_dir, _BUNDLE_META)) as f:
+            meta = json.load(f)
+        return cls(meta["model"], bundle_dir, int(meta["num_point"]),
+                   batch_size=batch_size)
 
     # -- helpers --------------------------------------------------------------
 

@@ -44,6 +44,16 @@ class CheckpointManager:
     def save_periodic(self, tree: Any) -> str:
         return self._save("model.ckpt", tree)
 
+    def save_tree(self, path: str, tree: Any) -> str:
+        """Save an arbitrary pytree at an absolute/relative path (outside
+        the two-tier policy; used for serving bundles)."""
+        path = os.path.abspath(path)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckpt.save(path, tree)
+        self._ckpt.wait_until_finished()
+        return path
+
     # -- restore ------------------------------------------------------------
 
     def restore(self, path: str, abstract_tree: Any) -> Any:

@@ -123,3 +123,34 @@ def test_session_restores_momentum_checkpoint(trained, tmp_path):
         restored_kernel,
         np.asarray(sess2._variables["params"]["encoder"]["conv1"]["dense"]
                    ["kernel"]))
+
+
+def test_bundle_export_roundtrip(trained, tmp_path):
+    """Params-only serving bundle: export from a training checkpoint, load
+    via from_bundle and via the export CLI, identical reconstructions, and
+    materially smaller than the training checkpoint on disk."""
+    root, ckpt = trained
+    sess = InferenceSession("model", ckpt, NUM_POINT, batch_size=4)
+    ds = PartDataset(root, npoints=NUM_POINT, split="test",
+                     class_choice=["Chair"], seed=1)
+    pts, _ = ds[0]
+
+    bundle = sess.export_bundle(str(tmp_path / "bundle"))
+    sess2 = InferenceSession.from_bundle(bundle, batch_size=4)
+    assert sess2.model_name == "model" and sess2.num_point == NUM_POINT
+    np.testing.assert_array_equal(sess.reconstruct(pts),
+                                  sess2.reconstruct(pts))
+
+    def du(path):
+        return sum(os.path.getsize(os.path.join(r, f))
+                   for r, _, fs in os.walk(path) for f in fs)
+
+    assert du(bundle) < 0.6 * du(ckpt)  # no optimizer slots
+
+    from pointnet_autoencoder_tpu.cli.export import main as export_main
+    out2 = export_main(["--model", "model", "--model_path", ckpt,
+                        "--num_point", str(NUM_POINT), "--batch_size", "4",
+                        "--out", str(tmp_path / "bundle_cli")])
+    sess3 = InferenceSession.from_bundle(out2, batch_size=4)
+    np.testing.assert_array_equal(sess.reconstruct(pts),
+                                  sess3.reconstruct(pts))
