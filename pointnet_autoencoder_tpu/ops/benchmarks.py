@@ -26,20 +26,23 @@ def bench_chamfer_gd(b=32, n=16384, m=1024, steps=100, lr=0.05,
     xyz1 = jax.random.normal(jax.random.PRNGKey(0), (b, n, 3))
     xyz2 = jax.random.normal(jax.random.PRNGKey(1), (b, m, 3))
 
+    # Both clouds are jit ARGUMENTS: a closed-over-constant gather/scatter
+    # graph produces deterministically wrong results on the axon backend
+    # (CLAUDE.md environment gotchas).
     @jax.jit
-    def step(p):
+    def step(p, tgt):
         def loss(q):
-            d1, _, d2, _ = chamfer.nn_distance(q, xyz2, impl=impl)
+            d1, _, d2, _ = chamfer.nn_distance(q, tgt, impl=impl)
             return jnp.sum(d1) + jnp.sum(d2)
 
         l, g = jax.value_and_grad(loss)(p)
         return p - lr * g, l
 
-    p, l = step(xyz1)
+    p, l = step(xyz1, xyz2)
     float(l)  # compile + barrier
     t0 = time.perf_counter()
     for _ in range(steps):
-        p, l = step(p)
+        p, l = step(p, xyz2)
     final = float(l)  # barrier
     dt = (time.perf_counter() - t0) / steps
     return {"ms_per_step": dt * 1e3, "final_loss": final,
@@ -51,17 +54,17 @@ def bench_emd_gd(b=8, n=1024, m=1024, steps=20, lr=0.01, impl=None) -> dict:
     xyz1 = jax.random.uniform(jax.random.PRNGKey(0), (b, n, 3))
 
     @jax.jit
-    def step(p):
+    def step(p, tgt):
         l, g = jax.value_and_grad(
-            lambda q: jnp.sum(emd.emd_cost(q, xyz2, impl=impl))
+            lambda q: jnp.sum(emd.emd_cost(q, tgt, impl=impl))
         )(p)
         return p - lr * g, l
 
-    p, l = step(xyz1)
+    p, l = step(xyz1, xyz2)
     float(l)
     t0 = time.perf_counter()
     for _ in range(steps):
-        p, l = step(p)
+        p, l = step(p, xyz2)
     final = float(l)
     dt = (time.perf_counter() - t0) / steps
     return {"ms_per_step": dt * 1e3, "final_loss": final,
