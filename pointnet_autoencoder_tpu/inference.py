@@ -85,13 +85,18 @@ class InferenceSession:
         else:
             self._variables = self._restore_train_ckpt(model_path, variables)
 
-        def fwd(points):
+        # Variables are a jit ARGUMENT (like the train step's state), not a
+        # closure constant: constants would be folded into the executable
+        # (slow compile, 17 MB binary) and closed-over gather/scatter
+        # graphs are the axon backend's documented wrong-numerics class.
+        def fwd(variables, points):
             pred, end_points = self._model.apply(
-                self._variables, points, train=False, bn_momentum=0.0
+                variables, points, train=False, bn_momentum=0.0
             )
             return pred, end_points["embedding"]
 
-        self._fwd = jax.jit(fwd)
+        self._fwd_jit = jax.jit(fwd)
+        self._fwd = lambda points: self._fwd_jit(self._variables, points)
 
         def per_shape_chamfer(pred, target):
             d1, _, d2, _ = nn_distance(pred, target)
