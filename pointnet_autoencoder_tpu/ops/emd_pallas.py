@@ -55,8 +55,8 @@ from jax.experimental.pallas import tpu as pltpu
 _NUM_LEVELS = 10  # j = 7..-2 (tf_approxmatch_g.cu:21-25); last level is 0
 _LOG2E = math.log2(math.e)
 
-# v5e VMEM is ~128 MB; leave headroom for double-buffered IO + temporaries.
-_VMEM_LIMIT = 100 * 1024 * 1024
+from pointnet_autoencoder_tpu.ops.tpu import VMEM_LIMIT_BYTES as _VMEM_LIMIT
+
 # Up to a full (4096, 4096) f32 distance cache: measured 8.7 ms vs 11.2 ms
 # for the recompute branch at B=4, N=M=4096 (exact same results).
 _D2_CACHE_BUDGET = 64 * 1024 * 1024

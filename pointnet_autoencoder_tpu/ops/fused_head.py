@@ -51,7 +51,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_LIMIT = 100 * 1024 * 1024  # v5e VMEM is far larger than Mosaic's default cap
+from pointnet_autoencoder_tpu.ops.tpu import VMEM_LIMIT_BYTES as _VMEM_LIMIT
 
 
 def _auto_impl() -> str:
@@ -250,31 +250,25 @@ def _fold_affine(b, gamma, beta, mean, var, eps):
     return scale, shift
 
 
-def _head_xla(x, w, b, gamma, beta, mean, var, eps):
-    scale, shift = _fold_affine(b, gamma, beta, mean, var, eps)
-    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
-    o = jnp.maximum(y * scale + shift, 0.0)
-    return jnp.max(o, axis=1)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
-def _head_max(x, w, b, gamma, beta, mean, var, eps, impl, interpret):
-    if impl == "xla":
-        return _head_xla(x, w, b, gamma, beta, mean, var, eps)
-    scale, shift = _fold_affine(b, gamma, beta, mean, var, eps)
-    maxout, _ = _forward_pallas(x, w, scale, shift, interpret)
-    return maxout
-
-
-def _head_max_fwd(x, w, b, gamma, beta, mean, var, eps, impl, interpret):
+def _head_forward(x, w, b, gamma, beta, mean, var, eps, impl, interpret):
+    """(maxout, argmax) via the selected implementation."""
     scale, shift = _fold_affine(b, gamma, beta, mean, var, eps)
     if impl == "xla":
         y = jnp.dot(x, w, preferred_element_type=jnp.float32)
         o = jnp.maximum(y * scale + shift, 0.0)
-        maxout = jnp.max(o, axis=1)
-        argmax = jnp.argmax(o, axis=1).astype(jnp.int32)
-    else:
-        maxout, argmax = _forward_pallas(x, w, scale, shift, interpret)
+        return jnp.max(o, axis=1), jnp.argmax(o, axis=1).astype(jnp.int32)
+    return _forward_pallas(x, w, scale, shift, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _head_max(x, w, b, gamma, beta, mean, var, eps, impl, interpret):
+    return _head_forward(x, w, b, gamma, beta, mean, var, eps, impl,
+                         interpret)[0]
+
+
+def _head_max_fwd(x, w, b, gamma, beta, mean, var, eps, impl, interpret):
+    maxout, argmax = _head_forward(x, w, b, gamma, beta, mean, var, eps,
+                                   impl, interpret)
     return maxout, (x, w, gamma, beta, mean, var, maxout, argmax)
 
 
