@@ -270,7 +270,7 @@ def emd_cost(xyz1: jax.Array, xyz2: jax.Array,
     the plan. impl: "pallas" (default on TPU; fully fused, zero O(N*M) HBM
     traffic) or "xla" (dense scan)."""
     if impl is None:
-        # The round-3 fused kernel (d2 cached in VMEM, one exp per fused
+        # The round-2 fused kernel (d2 cached in VMEM, one exp per fused
         # sweep pair, base-2 exponentials) beats the dense XLA path 2.6x at
         # the training shape (11.1 vs 29.2 ms at B=32, N=M=2048) on top of
         # having no O(N*M) HBM footprint, so Pallas is simply the TPU

@@ -18,7 +18,7 @@ Orientation scheme (avoids every in-kernel transpose):
     through the loop (sublane-axis reductions produce rows);
   - grad2 is emitted transposed as (3, M) rows and swapped back by XLA.
 
-Round-3 structure (docs/ARCHITECTURE.md has the measured history):
+Round-2 structure (docs/ARCHITECTURE.md has the measured history):
   - The pairwise squared distances are level-independent, so they are
     computed ONCE into a (N, M) f32 VMEM scratch and reused by all 10
     annealing levels (v5e VMEM is ~128 MB; Mosaic's default cap had to be
@@ -40,6 +40,14 @@ instead of the 3 exp + 3 d2 of the round-1 kernel; an (m-tiled, full-N
 resident) restructure with a lower op count measured slower and was
 rejected -- see ARCHITECTURE.md. Measured 23.8 -> 11.1 ms at B=32,
 N=M=2048 (2.6x faster than the dense XLA path in the same session).
+
+Round-3 follow-ups, both measured and rejected (ARCHITECTURE.md has the
+numbers): caching pass A's k*ratioL tiles in a second f32 VMEM scratch so
+pass B skips its exp2 (bitwise-identical but ~6% slower -- the kernel is
+VPU issue-bound and the 16 MB/level store+reload costs more slots than
+one exp2), and early-annealing-level tile skipping (the (TN, M) tiles
+span all of M, so on reconstruction-shaped data every tile contains a
+near-zero d2 and the skip never fires).
 """
 
 from __future__ import annotations
