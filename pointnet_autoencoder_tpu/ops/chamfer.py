@@ -97,6 +97,11 @@ def _nn_direction_kernel(x1t_ref, x2_ref, dist_ref, idx_ref, *, tile_m: int):
     Mosaic's min+argmin is ~3.5x faster than the lane-axis form. This is
     the TPU analog of the reference CUDA kernel's shared-memory chunking
     (tf_nndistance_g.cu:6-13) with no HBM (N,M) intermediate.
+
+    Integer-key replacements for the min/argmin chain were measured and
+    rejected in round 3 (ARCHITECTURE.md): an exact bitcast-min +
+    equality-argmin is bitwise-identical but ~8% slower, and a true
+    packed key can't represent 32 d2 bits + the tile index in an int32.
     """
     mt = pl.program_id(2)
     ax = x1t_ref[0, 0:1, :]  # (1, TN)
