@@ -176,6 +176,101 @@ def magnify_blue(img: np.ndarray, level: int, channel: int = 2) -> np.ndarray:
     return img
 
 
+class ViewerSession:
+    """State machine behind the interactive viewer, driveable without cv2.
+
+    Mirrors the reference's show3d_balls.showpoints loop observables
+    (show3d_balls.py:25-158): mouse position maps to x/y rotation angles
+    unless frozen, hotkeys mutate zoom/colors/freeze, and a frame is only
+    re-rendered when an event marks the state changed. In particular the
+    'f' freeze toggle (show3d_balls.py:155-156) does NOT mark the state
+    changed -- the displayed frame keeps the last drag angles until the
+    next mouse/color/zoom event, whose re-render then uses angle 0 while
+    frozen (show3d_balls.py:53-66)."""
+
+    def __init__(self, xyz, c_gt=None, c_pred=None, showrot=False,
+                 magnifyBlue=0, freezerot=False, ballradius=10,
+                 size=800, **kwargs):
+        self.xyz = xyz
+        self.c_gt, self.c_pred = c_gt, c_pred
+        self.showrot, self.magnify = showrot, magnifyBlue
+        self.ballradius, self.size, self.kwargs = ballradius, size, kwargs
+        self.colors = c_gt
+        self.mx = self.my = 0.5          # normalized mouse position
+        self.zoom = 1.0
+        self.frozen = bool(freezerot)
+        self.changed = True
+        self.img = None
+        self.rendered_angles = (0.0, 0.0)  # angles of the displayed frame
+
+    def on_mouse(self, px: float, py: float) -> None:
+        """Mouse-move callback in pixel coordinates."""
+        self.mx, self.my = px / float(self.size), py / float(self.size)
+        self.changed = True
+
+    def current_angles(self):
+        if self.frozen:
+            return 0.0, 0.0
+        return ((self.my - 0.5) * np.pi * 1.2,
+                (self.mx - 0.5) * np.pi * 1.2)
+
+    def render_if_needed(self) -> np.ndarray:
+        """Re-render only when an event marked the state changed; otherwise
+        keep showing the previous frame (and its angles)."""
+        if self.changed or self.img is None:
+            xangle, yangle = self.current_angles()
+            img = render_points(
+                self.xyz, self.colors, ballradius=self.ballradius,
+                size=self.size, xangle=xangle, yangle=yangle,
+                zoom=self.zoom, **self.kwargs,
+            )
+            if self.magnify > 0:
+                img = magnify_blue(img, self.magnify)
+            if self.showrot:
+                self._overlay_rot(img, xangle, yangle)
+            self.img = img
+            self.rendered_angles = (xangle, yangle)
+            self.changed = False
+        return self.img
+
+    def _overlay_rot(self, img, xangle, yangle):
+        import cv2  # type: ignore
+
+        for i, text in enumerate((
+                "xangle %d" % int(xangle / np.pi * 180),
+                "yangle %d" % int(yangle / np.pi * 180),
+                "zoom %d%%" % int(self.zoom * 100))):
+            cv2.putText(img, text, (30, self.size - 30 - 20 * i), 0, 0.5,
+                        (255, 0, 0))
+
+    def handle_key(self, cmd: int) -> Optional[str]:
+        """Apply one hotkey. Returns 'quit' for q, 'exit' for Q, else None."""
+        if cmd == ord("q"):
+            return "quit"
+        if cmd == ord("Q"):
+            return "exit"
+        if cmd == ord("t"):
+            self.colors, self.changed = self.c_gt, True
+        elif cmd == ord("p"):
+            self.colors, self.changed = self.c_pred, True
+        elif cmd == ord("n"):
+            self.zoom *= 1.1
+            self.changed = True
+        elif cmd == ord("m"):
+            self.zoom /= 1.1
+            self.changed = True
+        elif cmd == ord("r"):
+            self.zoom = 1.0
+            self.changed = True
+        elif cmd == ord("s"):
+            save_image(self.img, "pcae_view.png")
+        elif cmd == ord("f"):
+            # Reference parity (show3d_balls.py:155-156): toggle without
+            # re-rendering, so the frame freezes at the last drag angles.
+            self.frozen = not self.frozen
+        return None
+
+
 def showpoints(xyz: np.ndarray, c_gt: Optional[np.ndarray] = None,
                c_pred: Optional[np.ndarray] = None, waittime: int = 0,
                showrot: bool = False, magnifyBlue: int = 0,
@@ -184,11 +279,12 @@ def showpoints(xyz: np.ndarray, c_gt: Optional[np.ndarray] = None,
     """Interactive viewer (requires cv2 + display), hotkey-compatible with
     the reference's show3d_balls.showpoints (show3d_balls.py:25-158):
     drag to rotate (unless frozen), t/p ground-truth vs predicted colors,
-    n/m zoom in/out, r reset zoom, s save PNG, f toggle rotation freeze,
-    q quit the viewer, Q exit the process. ``showrot`` overlays the current
-    angles/zoom; ``magnifyBlue`` dilates the blue channel; ``waittime``
-    nonzero renders one frame and returns the pressed key. Headless
-    environments should use render_points()/save_image() instead."""
+    n/m zoom in/out, r reset zoom, s save PNG, f freeze rotation at the
+    current frame, q quit the viewer, Q exit the process. ``showrot``
+    overlays the current angles/zoom; ``magnifyBlue`` dilates the blue
+    channel; ``waittime`` nonzero renders one frame and returns the
+    pressed key. Headless environments should use
+    render_points()/save_image() instead."""
     try:
         import cv2  # type: ignore
     except ImportError as e:
@@ -197,60 +293,28 @@ def showpoints(xyz: np.ndarray, c_gt: Optional[np.ndarray] = None,
             "for headless rendering"
         ) from e
 
-    state = {"x": 0.5, "y": 0.5, "zoom": 1.0, "changed": True,
-             "frozen": bool(freezerot)}
+    session = ViewerSession(
+        xyz, c_gt=c_gt, c_pred=c_pred, showrot=showrot,
+        magnifyBlue=magnifyBlue, freezerot=freezerot,
+        ballradius=ballradius, size=size, **kwargs,
+    )
 
     def on_mouse(event, mx, my, flags, param):
-        state["x"], state["y"] = mx / float(size), my / float(size)
-        state["changed"] = True
+        session.on_mouse(mx, my)
 
     cv2.namedWindow("pcae")
     cv2.setMouseCallback("pcae", on_mouse)
-    colors = c_gt
     while True:
-        if state["changed"]:
-            xangle = 0.0 if state["frozen"] else (state["y"] - 0.5) * np.pi * 1.2
-            yangle = 0.0 if state["frozen"] else (state["x"] - 0.5) * np.pi * 1.2
-            img = render_points(
-                xyz, colors, ballradius=ballradius, size=size,
-                xangle=xangle, yangle=yangle, zoom=state["zoom"], **kwargs,
-            )
-            if magnifyBlue > 0:
-                img = magnify_blue(img, magnifyBlue)
-            if showrot:
-                for i, text in enumerate((
-                        "xangle %d" % int(xangle / np.pi * 180),
-                        "yangle %d" % int(yangle / np.pi * 180),
-                        "zoom %d%%" % int(state["zoom"] * 100))):
-                    cv2.putText(img, text, (30, size - 30 - 20 * i), 0, 0.5,
-                                (255, 0, 0))
-            state["changed"] = False
+        img = session.render_if_needed()
         cv2.imshow("pcae", img[:, :, ::-1])
         cmd = cv2.waitKey(10 if waittime == 0 else waittime) % 256
-        if cmd == ord("q"):
+        action = session.handle_key(cmd)
+        if action == "quit":
             break
-        elif cmd == ord("Q"):
+        if action == "exit":
             import sys
 
             sys.exit(0)
-        elif cmd == ord("t"):
-            colors, state["changed"] = c_gt, True
-        elif cmd == ord("p"):
-            colors, state["changed"] = c_pred, True
-        elif cmd == ord("n"):
-            state["zoom"] *= 1.1
-            state["changed"] = True
-        elif cmd == ord("m"):
-            state["zoom"] /= 1.1
-            state["changed"] = True
-        elif cmd == ord("r"):
-            state["zoom"] = 1.0
-            state["changed"] = True
-        elif cmd == ord("s"):
-            save_image(img, "pcae_view.png")
-        elif cmd == ord("f"):
-            state["frozen"] = not state["frozen"]
-            state["changed"] = True
         if waittime != 0:
             break
     cv2.destroyWindow("pcae")

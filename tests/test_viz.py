@@ -87,6 +87,53 @@ def test_magnify_blue_dilates_blue_channel():
     np.testing.assert_array_equal(render.magnify_blue(img.copy(), 0), img)
 
 
+def test_freeze_keeps_last_drag_frame():
+    """Reference 'f' semantics (show3d_balls.py:53-66,155-156): the freeze
+    toggle does not re-render, so the displayed frame keeps the last drag
+    angles; the next event's re-render then uses angle 0 while frozen."""
+    s = render.ViewerSession(_cloud(50), size=64, ballradius=2)
+    s.render_if_needed()
+    s.on_mouse(48, 48)  # drag away from center
+    s.render_if_needed()
+    dragged = s.rendered_angles
+    assert dragged != (0.0, 0.0)
+    frame = s.img
+
+    s.handle_key(ord("f"))
+    assert s.frozen and not s.changed  # no re-render queued by the toggle
+    s.render_if_needed()
+    assert s.rendered_angles == dragged  # frame persists at drag angles
+    assert s.img is frame
+
+    s.on_mouse(10, 10)  # next event re-renders; frozen -> angle 0
+    s.render_if_needed()
+    assert s.rendered_angles == (0.0, 0.0)
+
+    s.handle_key(ord("f"))  # unfreeze: same no-re-render contract
+    assert not s.frozen and not s.changed
+
+
+def test_viewer_session_hotkeys():
+    """Zoom/color/reset hotkeys mutate state and queue a re-render."""
+    c_gt = np.zeros((50, 3), np.float32)
+    c_pred = np.ones((50, 3), np.float32)
+    s = render.ViewerSession(_cloud(50), c_gt=c_gt, c_pred=c_pred,
+                             size=64, ballradius=2)
+    s.render_if_needed()
+    s.handle_key(ord("n"))
+    assert s.zoom == pytest.approx(1.1) and s.changed
+    s.render_if_needed()
+    s.handle_key(ord("m"))
+    s.handle_key(ord("r"))
+    assert s.zoom == 1.0
+    s.handle_key(ord("p"))
+    assert s.colors is c_pred
+    s.handle_key(ord("t"))
+    assert s.colors is c_gt
+    assert s.handle_key(ord("q")) == "quit"
+    assert s.handle_key(ord("Q")) == "exit"
+
+
 def test_emd_plan_demo_runs(tmp_path):
     """Tiny end-to-end run of the EMD plan demo (the reference op's embedded
     visualization, tf_approxmatch.py:53-105): optimization reduces the loss
