@@ -56,13 +56,30 @@ class BatchPipeline:
             batch = rotate_point_cloud(batch, self._rng)
         return batch
 
-    def _producer(self, order: np.ndarray, q: queue.Queue):
+    @staticmethod
+    def _put_unless_stopped(q: queue.Queue, item, stop: threading.Event
+                            ) -> bool:
+        """Blocking put that aborts when the consumer abandons the epoch
+        (early break / dropped iterator) instead of blocking forever on a
+        full queue. Returns False if aborted."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def _producer(self, order: np.ndarray, q: queue.Queue,
+                  stop: threading.Event):
         try:
             for b in range(len(self)):
                 idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-                q.put(self._assemble(idxs))
+                if not self._put_unless_stopped(q, self._assemble(idxs),
+                                                stop):
+                    return
         finally:
-            q.put(_STOP)
+            self._put_unless_stopped(q, _STOP, stop)
 
     def epochs(self) -> Iterator[Iterator[jax.Array]]:
         """Infinite iterator of epoch iterators."""
@@ -74,8 +91,10 @@ class BatchPipeline:
         if self.shuffle:
             self._rng.shuffle(order)
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
         worker = threading.Thread(
-            target=self._producer, args=(order, q), daemon=True
+            target=self._producer, args=(order, q, stop), daemon=True,
+            name="pcae-pipeline-producer",
         )
         worker.start()
         try:
@@ -88,4 +107,7 @@ class BatchPipeline:
                 else:
                     yield jax.device_put(item)
         finally:
+            # Runs on exhaustion AND on early abandonment (generator close);
+            # the stop event unblocks a producer waiting on a full queue.
+            stop.set()
             worker.join(timeout=5.0)

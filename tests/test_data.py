@@ -162,3 +162,25 @@ def test_pipeline_eval_mode_deterministic_order(fixture_root):
     pipe = BatchPipeline(ds, batch_size=4, rotate=False, shuffle=False)
     n1 = list(pipe.epoch())
     assert len(n1) == len(ds) // 4
+
+
+def test_pipeline_abandoned_epoch_stops_producer(fixture_root):
+    """Consuming one batch and dropping the iterator must not strand the
+    producer thread blocked on the bounded prefetch queue."""
+    import threading
+    import time
+
+    ds = PartDataset(fixture_root, npoints=32, split="trainval", seed=0)
+    pipe = BatchPipeline(ds, batch_size=1, prefetch=1, seed=0)
+    assert len(pipe) > 3  # enough batches that the producer must block
+    it = pipe.epoch()
+    next(it)
+    it.close()  # runs the generator's finally: sets stop + joins
+    deadline = time.monotonic() + 3.0
+    while time.monotonic() < deadline:
+        alive = [t for t in threading.enumerate()
+                 if t.name == "pcae-pipeline-producer" and t.is_alive()]
+        if not alive:
+            break
+        time.sleep(0.05)
+    assert not alive, "producer thread still alive after epoch abandonment"
