@@ -269,11 +269,11 @@ def _head_max(x, w, b, gamma, beta, mean, var, eps, impl, interpret):
 def _head_max_fwd(x, w, b, gamma, beta, mean, var, eps, impl, interpret):
     maxout, argmax = _head_forward(x, w, b, gamma, beta, mean, var, eps,
                                    impl, interpret)
-    return maxout, (x, w, gamma, beta, mean, var, maxout, argmax)
+    return maxout, (x, w, b, gamma, beta, mean, var, maxout, argmax)
 
 
 def _head_max_bwd(eps, impl, interpret, res, g):
-    x, w, gamma, beta, mean, var, maxout, argmax = res
+    x, w, b, gamma, beta, mean, var, maxout, argmax = res
     g = g.astype(jnp.float32)
     gamma32 = gamma.astype(jnp.float32)
     beta32 = beta.astype(jnp.float32)
@@ -309,7 +309,9 @@ def _head_max_bwd(eps, impl, interpret, res, g):
                         preferred_element_type=jnp.float32)
     else:
         dx, dw = _backward_pallas(x, w, gvals, argmax, interpret)
-    return (dx, dw.astype(w.dtype), db.astype(w.dtype), dgamma, dbeta,
+    # Cotangent dtypes must mirror the primal dtypes; b's may differ from
+    # w's (the public API allows either).
+    return (dx, dw.astype(w.dtype), db.astype(b.dtype), dgamma, dbeta,
             dmean, dvar)
 
 

@@ -119,6 +119,25 @@ def test_grads_match_autodiff_composition(impl):
             err_msg=f"gradient mismatch for {name} (impl={impl})")
 
 
+def test_grad_with_f32_bias_and_bf16_weights():
+    """b may keep f32 while w is bf16 (the public API allows either); the
+    bias cotangent must come back in b's dtype, not w's."""
+    x, w, bias, gamma, beta = _inputs()
+    xb, wb = jnp.asarray(x, jnp.bfloat16), jnp.asarray(w, jnp.bfloat16)
+    b32 = jnp.asarray(bias, jnp.float32)
+    mean, var = fused_head.head_stats(xb, wb, b32)
+
+    def loss(xa, wa, ba):
+        return jnp.sum(fused_head.fused_dense_bn_relu_max(
+            xa, wa, ba, jnp.asarray(gamma), jnp.asarray(beta), mean, var,
+            eps=EPS, impl="xla"))
+
+    gx, gw, gb = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(xb, wb, b32)
+    assert gx.dtype == jnp.bfloat16 and gw.dtype == jnp.bfloat16
+    assert gb.dtype == jnp.float32
+    assert bool(jnp.all(jnp.isfinite(gb)))
+
+
 def test_finite_difference_gradients():
     x, w, bias, gamma, beta = _inputs(b=2, n=16, c=4, f=128, seed=3)
     r = np.random.RandomState(4).randn(2, 128).astype(np.float32)
