@@ -18,6 +18,18 @@ import jax
 import orbax.checkpoint as ocp
 
 
+# Marker files orbax writes at a checkpoint root (either is sufficient;
+# the set covers current and older orbax layouts).
+_ORBAX_MARKERS = ("_CHECKPOINT_METADATA", "_METADATA", "manifest.ocdbt",
+                  "checkpoint")
+
+
+def _is_orbax_checkpoint(path: str) -> bool:
+    return os.path.isdir(path) and any(
+        os.path.exists(os.path.join(path, m)) for m in _ORBAX_MARKERS
+    )
+
+
 class CheckpointManager:
     def __init__(self, log_dir: str):
         self.log_dir = os.path.abspath(log_dir)
@@ -46,9 +58,19 @@ class CheckpointManager:
 
     def save_tree(self, path: str, tree: Any) -> str:
         """Save an arbitrary pytree at an absolute/relative path (outside
-        the two-tier policy; used for serving bundles)."""
+        the two-tier policy; used for serving bundles).
+
+        Refuses to overwrite a pre-existing path that is not itself an
+        orbax checkpoint, so a mistyped destination (e.g. --out in
+        cli.export pointing at an unrelated directory) cannot delete it."""
         path = os.path.abspath(path)
         if os.path.exists(path):
+            if not _is_orbax_checkpoint(path):
+                raise ValueError(
+                    f"refusing to overwrite {path}: it exists and does not "
+                    "look like an orbax checkpoint (no checkpoint metadata "
+                    "marker). Delete it yourself or pick another path."
+                )
             shutil.rmtree(path)
         self._ckpt.save(path, tree)
         self._ckpt.wait_until_finished()

@@ -154,3 +154,14 @@ def test_bundle_export_roundtrip(trained, tmp_path):
     sess3 = InferenceSession.from_bundle(out2, batch_size=4)
     np.testing.assert_array_equal(sess.reconstruct(pts),
                                   sess3.reconstruct(pts))
+
+    # Overwriting an existing *bundle* is allowed (variables.ckpt is an
+    # orbax checkpoint); a mistyped --out whose variables.ckpt is an
+    # unrelated directory is refused instead of silently rmtree'd.
+    sess.export_bundle(bundle)
+    unrelated = tmp_path / "precious" / "variables.ckpt"
+    unrelated.mkdir(parents=True)
+    (unrelated / "data.txt").write_text("do not delete")
+    with pytest.raises(ValueError, match="refusing to overwrite"):
+        sess.export_bundle(str(tmp_path / "precious"))
+    assert (unrelated / "data.txt").read_text() == "do not delete"
