@@ -7,12 +7,16 @@ Pallas kernel, backward, Adam, BN stat update) on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+The hardware-normalized numbers are extras.roofline: measured step time
+vs the analytic v5e floor (utils/roofline.py mechanizes the accounting
+from docs/ARCHITECTURE.md) — these are the primary performance evidence.
+
 vs_baseline: the reference publishes no numbers (BASELINE.md); the baseline
 used here is a documented ESTIMATE of the reference stack's throughput --
 300 shapes/sec for TF-1.4 on its CUDA-8-era GPU (graph session with
 feed_dict, no input prefetch; consistent with the ~1.9 GFLOP/shape train
-cost at the utilization such stacks achieved). Revisit if a measured
-reference number ever lands.
+cost at the utilization such stacks achieved). Kept because the driver
+schema asks for it; read the roofline numbers first.
 """
 
 from __future__ import annotations
@@ -89,6 +93,8 @@ def main() -> None:
     # flagged its EMD-dominated step time; keep it driver-visible).
     emd_step_s = time_step("model_emd", iters=40, windows=3)
 
+    from pointnet_autoencoder_tpu.utils import roofline
+
     print(json.dumps({
         "metric": "train_throughput_model_b32_n2048",
         "value": round(shapes_per_sec_per_chip, 2),
@@ -101,6 +107,15 @@ def main() -> None:
             "model_emd_step_ms": round(1e3 * emd_step_s, 3),
             "model_emd_shapes_per_sec_per_chip": round(
                 batch_size / emd_step_s / n_chips, 2),
+            # Hardware-normalized: measured vs the analytic v5e floor
+            # (sum of MXU matmul time + loss-kernel VPU time; see
+            # utils/roofline.py for the op accounting).
+            "roofline": {
+                "model": roofline.roofline_report(
+                    "model", batch_size, num_point, 1e3 * step_s),
+                "model_emd": roofline.roofline_report(
+                    "model_emd", batch_size, num_point, 1e3 * emd_step_s),
+            },
         },
     }))
 

@@ -1,0 +1,46 @@
+"""Roofline accounting: the mechanized budgets must reproduce the numbers
+documented in docs/ARCHITECTURE.md (which were cross-checked against
+same-session component timings on a v5e)."""
+
+import json
+
+import pytest
+
+from pointnet_autoencoder_tpu.utils import roofline
+
+
+def test_network_matmul_flops_matches_documented():
+    # ~1.9 GFLOP/shape fwd+bwd at N=2048 -> ~61 GFLOP/step at B=32.
+    per_shape = roofline.network_matmul_flops(1, 2048)
+    assert per_shape == pytest.approx(1.86e9, rel=0.02)
+    assert roofline.network_matmul_flops(32, 2048) == 32 * per_shape
+
+
+def test_model_step_floor_matches_documented():
+    b = roofline.step_floor_ms("model", 32, 2048)
+    assert b["mxu_ms"] == pytest.approx(0.30, abs=0.01)
+    assert b["loss_vpu_ms"] == pytest.approx(1.10, abs=0.02)
+    # Round-2 measured step (2.73 ms) sits at ~half the modeled floor.
+    r = roofline.roofline_report("model", 32, 2048, 2.73)
+    assert 45.0 < r["pct_of_roofline"] < 60.0
+    assert r["analytic_floor_ms"] == pytest.approx(1.40, abs=0.02)
+
+
+def test_model_emd_step_floor_matches_documented():
+    # EMD kernel budget ~8.5-8.6 ms + forward-only Chamfer metric.
+    b = roofline.step_floor_ms("model_emd", 32, 2048)
+    assert b["loss_vpu_ms"] == pytest.approx(9.43, abs=0.1)
+    r = roofline.roofline_report("model_emd", 32, 2048, 12.5)
+    assert 70.0 < r["pct_of_roofline"] < 85.0
+
+
+def test_unbudgeted_config_raises():
+    with pytest.raises(ValueError, match="no analytic budget"):
+        roofline.step_floor_ms("model_upconv", 32, 2048)
+
+
+def test_report_is_json_serializable():
+    r = roofline.roofline_report("model", 32, 2048, 2.73)
+    parsed = json.loads(json.dumps(r))
+    assert set(parsed) == {"measured_ms", "analytic_floor_ms", "mxu_ms",
+                           "loss_vpu_ms", "pct_of_roofline"}
