@@ -42,6 +42,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synth_fixture", action="store_true",
                    help="Generate a synthetic fixture at --data_path first "
                         "(for environments without the real archive)")
+    p.add_argument("--fixture_shapes", type=int, default=48,
+                   help="Shapes per category for --synth_fixture. 4045 "
+                        "makes the trainval split exactly the real Chair "
+                        "count (3371; splits are 4/6 train, 1/6 val, 1/6 "
+                        "test), calibrating the wall-clock projection for "
+                        "the eventual REAL row")
+    p.add_argument("--fixture_categories", default=None,
+                   help="Comma-separated category names for "
+                        "--synth_fixture [default: all three]")
     p.add_argument("--category", default="Chair")
     p.add_argument("--model", default="model")
     p.add_argument("--num_point", type=int, default=2048)
@@ -83,9 +92,12 @@ def run(argv=None) -> dict:
 
         # Variable per-shape point counts exercise the DeviceDataset
         # cyclic-padding path the way the real (ragged) archive does.
-        synthetic.write_fixture(args.data_path, shapes_per_category=48,
+        cats = (args.fixture_categories.split(",")
+                if args.fixture_categories else None)
+        synthetic.write_fixture(args.data_path,
+                                shapes_per_category=args.fixture_shapes,
                                 points_per_shape=900, seed=args.seed,
-                                variable_points=True)
+                                variable_points=True, categories=cats)
 
     is_real, counts = check_splits(args.data_path, args.category)
     data_kind = ("real shapenetcore_partanno archive" if is_real
@@ -116,7 +128,11 @@ def run(argv=None) -> dict:
     # Chamfer, models/model.py:82), which every loss family reports --
     # dividing the *loss* by 100 would be wrong for model_emd (loss is the
     # EMD cost) and model_hierachy (loss includes the 0.1x center term).
-    best_chamfer = _best_eval_pcloss(args.log_dir)
+    # The value recorded is the pcloss AT the best-*loss* eval epoch (the
+    # key the best-checkpoint policy selects on), scoped to this run's
+    # records, so the table describes what the saved best checkpoint
+    # actually achieves.
+    best_chamfer = _eval_pcloss_at_best_loss(args.log_dir, since=t0)
     if best_chamfer is None:
         best_chamfer = float("nan")
     import jax
@@ -124,6 +140,12 @@ def run(argv=None) -> dict:
     steps = int(jax.device_get(trainer.state.step))
     shapes = steps * args.batch_size
     throughput = shapes / wall if wall > 0 else float("nan")
+    # Wall time includes one-off jit compilation (~2 min for the train
+    # step on this backend), which dominates short smoke runs; the
+    # steady-state number is the slope across the run's own logged train
+    # records, which start after the first compiled batches.
+    steady = _post_warmup_throughput(args.log_dir, args.batch_size,
+                                     since=t0)
 
     record = {
         "date": datetime.date.today().isoformat(),
@@ -135,8 +157,10 @@ def run(argv=None) -> dict:
         "best_eval_loss": best_loss,
         "best_eval_chamfer": best_chamfer,
         "train_steps": steps,
-        "wall_seconds": round(wall, 1),
-        "throughput_shapes_per_sec": round(throughput, 1),
+        "wall_seconds_incl_compile": round(wall, 1),
+        "throughput_incl_compile_shapes_per_sec": round(throughput, 1),
+        "post_warmup_shapes_per_sec": (
+            round(steady, 1) if steady is not None else None),
         "backend": _backend_name(),
     }
 
@@ -154,52 +178,91 @@ def _backend_name() -> str:
     return f"{jax.default_backend()} x{len(jax.devices())}"
 
 
-def _best_eval_pcloss(log_dir: str):
-    """Min test-split 'pcloss' from the run's scalars.jsonl, or None if
-    eval never ran (e.g. test split smaller than one batch)."""
+def _scan_scalars(log_dir: str, split: str, since: float = 0.0):
+    """Yield this run's scalars.jsonl records for one split (scalars.jsonl
+    is append-only across runs; ``since`` scopes to records newer than the
+    run's start time)."""
     path = os.path.join(log_dir, "scalars.jsonl")
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        for ln in f:
+            try:
+                rec = json.loads(ln)
+            except ValueError:
+                continue
+            if rec.get("split") == split and rec.get("time", 0.0) >= since:
+                yield rec
+
+
+def _eval_pcloss_at_best_loss(log_dir: str, since: float = 0.0):
+    """'pcloss' of the eval record with the minimum eval *loss* -- the key
+    the best-checkpoint policy selects on -- so the reported Chamfer is the
+    one the saved best checkpoint achieves (not the min pcloss over epochs,
+    which may come from an epoch whose checkpoint was never kept). Returns
+    None if eval never ran (e.g. test split smaller than one batch)."""
     best = None
-    if os.path.exists(path):
-        with open(path) as f:
-            for ln in f:
-                try:
-                    rec = json.loads(ln)
-                except ValueError:
-                    continue
-                if rec.get("split") == "test" and "pcloss" in rec:
-                    v = float(rec["pcloss"])
-                    best = v if best is None else min(best, v)
-    return best
+    for rec in _scan_scalars(log_dir, "test", since):
+        if "pcloss" not in rec:
+            continue
+        key = float(rec.get("loss", rec["pcloss"]))
+        if best is None or key < best[0]:
+            best = (key, float(rec["pcloss"]))
+    return None if best is None else best[1]
+
+
+def _post_warmup_throughput(log_dir: str, batch_size: int,
+                            since: float = 0.0):
+    """Steady-state shapes/sec: the step/time slope between this run's
+    first and last train-split records. The first record lands after the
+    initial (compile-inclusive) batches, so the slope excludes the one-off
+    jit cost; eval/checkpoint time between records is included, as in a
+    real run. None with fewer than two records."""
+    recs = [r for r in _scan_scalars(log_dir, "train", since)
+            if "step" in r and "time" in r]
+    if len(recs) < 2:
+        return None
+    dt = recs[-1]["time"] - recs[0]["time"]
+    dstep = recs[-1]["step"] - recs[0]["step"]
+    if dt <= 0 or dstep <= 0:
+        return None
+    return dstep * batch_size / dt
+
+
+_TABLE_HEADER = ("| date | data | command | best-ckpt eval Chamfer | steps "
+                 "| wall (incl. compile) | post-warmup shapes/s | backend |\n")
+_TABLE_MARKER = "|---|---|---|---|---|---|---|---|\n"
 
 
 def _append_results(path: str, record: dict, is_real: bool) -> None:
     header = "## Real-data parity runs"
+    steady = record["post_warmup_shapes_per_sec"]
     line = (f"| {record['date']} | {'REAL' if is_real else 'fixture'} "
             f"| `{record['command']}` | {record['best_eval_chamfer']:.4f} "
-            f"| {record['throughput_shapes_per_sec']:.0f} shapes/s "
-            f"| {record['wall_seconds']:.0f}s | {record['backend']} |\n")
+            f"| {record['train_steps']} "
+            f"| {record['wall_seconds_incl_compile']:.0f}s "
+            f"| {f'{steady:.0f}' if steady is not None else 'n/a'} "
+            f"| {record['backend']} |\n")
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     text = ""
     if os.path.exists(path):
         with open(path) as f:
             text = f.read()
-    if header not in text:
+    if header not in text or _TABLE_MARKER not in text:
         text += (
             f"\n{header}\n\n"
             "Appended by `python -m pointnet_autoencoder_tpu.cli.parity`.\n"
             "'fixture' rows are synthetic stand-ins; a 'REAL' row appears\n"
-            "automatically once the 635 MB ShapeNetPart archive is present.\n\n"
-            "| date | data | command | best eval Chamfer | throughput "
-            "| wall | backend |\n"
-            "|---|---|---|---|---|---|---|\n"
+            "automatically once the 635 MB ShapeNetPart archive is present.\n"
+            "Chamfer is the eval pcloss at the best-loss epoch (what the\n"
+            "saved best checkpoint achieves); wall time includes one-off\n"
+            "jit compilation, which dominates short smoke runs -- the\n"
+            "post-warmup column is the steady-state number.\n\n"
+            + _TABLE_HEADER + _TABLE_MARKER
         )
     # Insert the row right after the table header inside our section.
-    marker = "|---|---|---|---|---|---|---|\n"
-    if marker in text:
-        at = text.index(marker, text.index(header)) + len(marker)
-        text = text[:at] + line + text[at:]
-    else:
-        text += line
+    at = text.index(_TABLE_MARKER, text.index(header)) + len(_TABLE_MARKER)
+    text = text[:at] + line + text[at:]
     with open(path, "w") as f:
         f.write(text)
     print(f"recorded in {path}")

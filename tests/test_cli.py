@@ -75,6 +75,11 @@ def test_parity_harness_on_fixture(tmp_path):
     assert "fixture" in record["data"]
     assert record["train_steps"] > 0
     assert record["best_eval_chamfer"] > 0
+    # Compile-inclusive wall and steady-state throughput are separate
+    # columns (a smoke run's wall is compile-dominated; the row must say
+    # so rather than imply 2-shapes/s training).
+    assert record["wall_seconds_incl_compile"] > 0
+    assert "post_warmup_shapes_per_sec" in record
     text = results.read_text()
     assert "Real-data parity runs" in text
     assert "| fixture |" in text
