@@ -93,6 +93,44 @@ def test_parity_harness_on_fixture(tmp_path):
     assert results.read_text().count("Real-data parity runs") == 1
 
 
+def test_parity_scan_helpers(tmp_path):
+    """best-ckpt Chamfer = pcloss at the min-loss eval record of THIS run;
+    post-warmup throughput = slope across this run's train records."""
+    import json as _json
+
+    from pointnet_autoencoder_tpu.cli import parity
+
+    log = tmp_path / "log"
+    log.mkdir()
+    rows = [
+        # A stale record from a previous run in the same log dir (t=5).
+        {"split": "test", "step": 1, "time": 5.0, "loss": 0.1,
+         "pcloss": 0.001},
+        # This run (since=10): best LOSS at step 30 (pcloss 0.04), while
+        # the min pcloss (0.03) happens at a worse-loss epoch.
+        {"split": "test", "step": 20, "time": 20.0, "loss": 5.0,
+         "pcloss": 0.03},
+        {"split": "test", "step": 30, "time": 30.0, "loss": 4.0,
+         "pcloss": 0.04},
+        # Train records: 20 steps over 10 seconds after the first record.
+        {"split": "train", "step": 10, "time": 15.0, "loss": 9.0},
+        {"split": "train", "step": 20, "time": 20.0, "loss": 8.0},
+        {"split": "train", "step": 30, "time": 25.0, "loss": 7.0},
+    ]
+    with open(log / "scalars.jsonl", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+    assert parity._eval_pcloss_at_best_loss(str(log), since=10.0) == 0.04
+    # Stale run included when unscoped -> its tiny loss would win.
+    assert parity._eval_pcloss_at_best_loss(str(log), since=0.0) == 0.001
+    # (30-10) steps * batch 16 / (25-15)s = 32 shapes/s.
+    assert parity._post_warmup_throughput(str(log), 16, since=10.0) == 32.0
+    # Fewer than two train records -> None.
+    assert parity._post_warmup_throughput(str(log), 16, since=24.0) is None
+    assert parity._eval_pcloss_at_best_loss(str(tmp_path / "none")) is None
+
+
 def test_fixture_variable_points(tmp_path):
     from pointnet_autoencoder_tpu.data import synthetic
     from pointnet_autoencoder_tpu.data.shapenet_part import PartDataset
