@@ -248,7 +248,8 @@ def _append_results(path: str, record: dict, is_real: bool) -> None:
     if os.path.exists(path):
         with open(path) as f:
             text = f.read()
-    if header not in text or _TABLE_MARKER not in text:
+    hdr_at = text.find(header)
+    if hdr_at == -1:
         text += (
             f"\n{header}\n\n"
             "Appended by `python -m pointnet_autoencoder_tpu.cli.parity`.\n"
@@ -260,8 +261,17 @@ def _append_results(path: str, record: dict, is_real: bool) -> None:
             "post-warmup column is the steady-state number.\n\n"
             + _TABLE_HEADER + _TABLE_MARKER
         )
+        hdr_at = text.find(header)
+    marker_at = text.find(_TABLE_MARKER, hdr_at)
+    if marker_at == -1:
+        # Section exists but in an older column format: start a fresh
+        # current-format table at the end instead of corrupting (or
+        # crashing on) the old one. The row must never be lost -- it can
+        # summarize a multi-hour run.
+        text += "\n" + _TABLE_HEADER + _TABLE_MARKER
+        marker_at = text.rfind(_TABLE_MARKER)
     # Insert the row right after the table header inside our section.
-    at = text.index(_TABLE_MARKER, text.index(header)) + len(_TABLE_MARKER)
+    at = marker_at + len(_TABLE_MARKER)
     text = text[:at] + line + text[at:]
     with open(path, "w") as f:
         f.write(text)

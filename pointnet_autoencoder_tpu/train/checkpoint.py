@@ -18,10 +18,12 @@ import jax
 import orbax.checkpoint as ocp
 
 
-# Marker files orbax writes at a checkpoint root (either is sufficient;
-# the set covers current and older orbax layouts).
-_ORBAX_MARKERS = ("_CHECKPOINT_METADATA", "_METADATA", "manifest.ocdbt",
-                  "checkpoint")
+# Marker files orbax writes at a checkpoint root (any is sufficient; the
+# set covers current and older orbax layouts). Deliberately does NOT
+# include TF-Saver's "checkpoint" protocol file: a reference-stack TF log
+# directory is exactly the kind of unrelated precious data the guard must
+# refuse to delete.
+_ORBAX_MARKERS = ("_CHECKPOINT_METADATA", "_METADATA", "manifest.ocdbt")
 
 
 def _is_orbax_checkpoint(path: str) -> bool:

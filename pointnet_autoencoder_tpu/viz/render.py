@@ -263,7 +263,8 @@ class ViewerSession:
             self.zoom = 1.0
             self.changed = True
         elif cmd == ord("s"):
-            save_image(self.img, "pcae_view.png")
+            if self.img is not None:  # nothing rendered yet: no-op
+                save_image(self.img, "pcae_view.png")
         elif cmd == ord("f"):
             # Reference parity (show3d_balls.py:155-156): toggle without
             # re-rendering, so the frame freezes at the last drag angles.

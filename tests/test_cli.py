@@ -93,6 +93,33 @@ def test_parity_harness_on_fixture(tmp_path):
     assert results.read_text().count("Real-data parity runs") == 1
 
 
+def test_parity_append_survives_old_format_results(tmp_path):
+    """A results file written by an older parity version (7-column table)
+    must not crash the append or lose the row -- it can summarize a
+    multi-hour run. A fresh current-format table is started instead."""
+    from pointnet_autoencoder_tpu.cli import parity
+
+    path = tmp_path / "RESULTS.md"
+    path.write_text(
+        "## Real-data parity runs\n\n"
+        "| date | data | command | best eval Chamfer | throughput "
+        "| wall | backend |\n"
+        "|---|---|---|---|---|---|---|\n"
+        "| 2026-01-01 | fixture | `old` | 0.1 | 2 shapes/s | 80s | tpu |\n"
+    )
+    record = {
+        "date": "2026-08-17", "command": "parity --model model",
+        "best_eval_chamfer": 0.01, "train_steps": 30,
+        "wall_seconds_incl_compile": 100.0,
+        "post_warmup_shapes_per_sec": None, "backend": "cpu x8",
+    }
+    parity._append_results(str(path), record, is_real=False)
+    text = path.read_text()
+    assert "| 2026-08-17 | fixture |" in text  # new row recorded
+    assert "| 2026-01-01 | fixture |" in text  # old row untouched
+    assert text.count("## Real-data parity runs") == 1
+
+
 def test_parity_scan_helpers(tmp_path):
     """best-ckpt Chamfer = pcloss at the min-loss eval record of THIS run;
     post-warmup throughput = slope across this run's train records."""

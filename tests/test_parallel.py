@@ -159,7 +159,11 @@ def test_multihost_hook_already_initialized(monkeypatch):
 
 
 def test_graft_dryrun_multichip():
-    __graft_entry__.dryrun_multichip(8)
+    # Explicit flagship config: the no-arg default sweeps all six registry
+    # configs, which the driver artifact already runs each round; repeating
+    # the full sweep here would double several expensive GSPMD compiles on
+    # the single-core test VM.
+    __graft_entry__.dryrun_multichip(8, "model")
 
 
 @pytest.mark.parametrize("config", ["model_emd", "model_hierachy"])
