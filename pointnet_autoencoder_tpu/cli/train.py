@@ -112,6 +112,7 @@ def main(argv=None) -> int:
     trainer = Trainer(config, logger=logger)
     best = trainer.train()
     logger.log(f"done; best eval loss {best:.6f}")
+    logger.close()
     return 0
 
 

@@ -58,6 +58,11 @@ class DeviceDataset:
             self.data = jax.device_put(data)
             self.lengths = jax.device_put(lengths)
         self.num_shapes = len(shapes)
+        # The decoded shapes now live in device memory; the upload loop
+        # above filled the host dataset's item cache (hundreds of MB at
+        # real-archive scale) that device mode never reads again. Drop it;
+        # it refills lazily if a host-mode consumer shares the dataset.
+        dataset._cache.clear()
 
     def nbytes(self) -> int:
         return self.data.size * 4 + self.lengths.size * 4

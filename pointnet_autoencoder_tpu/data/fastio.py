@@ -55,8 +55,28 @@ def native_available() -> bool:
     return _find_lib() is not None
 
 
+def _check_columns(path: str, expected: int) -> None:
+    """Reject files whose (uniform) column count differs from expected --
+    e.g. ShapeNetPart variants with per-point normals (x y z nx ny nz)
+    would otherwise be silently reinterpreted as interleaved fake points
+    (the native parser fills a 3N buffer and the %3 check cannot catch a
+    6-column file)."""
+    with open(path, "rb") as f:
+        for raw in f:
+            cols = len(raw.split())
+            if cols == 0:
+                continue
+            if cols != expected:
+                raise ValueError(
+                    f"{path}: expected {expected} columns, found {cols} "
+                    "on the first data line"
+                )
+            return
+
+
 def load_pts(path: str) -> np.ndarray:
     """Load an Nx3 whitespace-separated float file."""
+    _check_columns(path, 3)
     lib = _find_lib()
     if lib is None:
         return np.loadtxt(path).astype(np.float32).reshape(-1, 3)

@@ -29,6 +29,14 @@ from pointnet_autoencoder_tpu.data.shapenet_part import rotate_point_cloud
 _STOP = object()
 
 
+class _ProducerError:
+    """Carries a producer-thread exception to the consumer, which re-raises
+    it -- a failed batch must fail the epoch, not silently truncate it."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class BatchPipeline:
     """Iterable over device-resident (B, N, 3) float32 batches."""
 
@@ -78,8 +86,9 @@ class BatchPipeline:
                 if not self._put_unless_stopped(q, self._assemble(idxs),
                                                 stop):
                     return
-        finally:
             self._put_unless_stopped(q, _STOP, stop)
+        except BaseException as e:  # delivered to the consumer, re-raised
+            self._put_unless_stopped(q, _ProducerError(e), stop)
 
     def epochs(self) -> Iterator[Iterator[jax.Array]]:
         """Infinite iterator of epoch iterators."""
@@ -102,6 +111,8 @@ class BatchPipeline:
                 item = q.get()
                 if item is _STOP:
                     break
+                if isinstance(item, _ProducerError):
+                    raise item.exc
                 if self.sharding is not None:
                     yield jax.device_put(item, self.sharding)
                 else:

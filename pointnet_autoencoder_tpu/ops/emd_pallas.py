@@ -72,8 +72,13 @@ _D2_CACHE_BUDGET = 64 * 1024 * 1024
 
 def _pick_tile_n(n: int, m: int, vmem_budget: int = 24 * 1024 * 1024) -> int:
     """Largest divisor of n (multiple of 8, <=512) whose (TN, M) f32 tiles
-    fit the budget with ~4 live buffers."""
-    limit = max(8, vmem_budget // (4 * 4 * m))
+    fit the budget with ~4 live buffers. Returns 0 (-> caller falls back
+    to the dense path) when even an 8-row tile would blow the budget
+    (very wide M); flooring to 8 regardless would hand Mosaic a
+    guaranteed VMEM compile failure instead of the documented fallback."""
+    limit = vmem_budget // (4 * 4 * m)
+    if limit < 8:
+        return 0
     best = 0
     for t in range(8, min(512, n) + 1, 8):
         if n % t == 0 and t <= limit:
@@ -199,10 +204,11 @@ def emd_forward_pallas(xyz1: jax.Array, xyz2: jax.Array,
     tile_n = _pick_tile_n(n, m)
     if tile_n == 0:
         return None
-    if n >= m:
-        multi_l, multi_r = 1.0, float(n // m)
-    else:
-        multi_l, multi_r = float(m // n), 1.0
+    # Same integer capacity factors as the dense path (emd._capacities;
+    # local import -- emd imports this module lazily).
+    from pointnet_autoencoder_tpu.ops.emd import _capacities
+
+    multi_l, multi_r = _capacities(n, m)
     cache_d2 = n * m * 4 <= _D2_CACHE_BUDGET
 
     x1 = xyz1.astype(jnp.float32)

@@ -42,10 +42,22 @@ class CheckpointManager:
 
     def _save(self, name: str, tree: Any) -> str:
         path = os.path.join(self.log_dir, name)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        self._ckpt.save(path, tree)
+        # Write to a sibling temp dir first, swap in only once durable: a
+        # crash mid-save must never leave the tier with NO checkpoint
+        # (the periodic tier is overwritten every 10 epochs).
+        tmp = path + ".saving"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        self._ckpt.save(tmp, tree)
         self._ckpt.wait_until_finished()
+        if os.path.exists(path):
+            if not _is_orbax_checkpoint(path):
+                raise ValueError(
+                    f"refusing to overwrite {path}: it exists and does not "
+                    "look like an orbax checkpoint"
+                )
+            shutil.rmtree(path)
+        os.rename(tmp, path)
         # Pointer to the most recently written checkpoint, so resume picks
         # the newest regardless of which policy tier wrote it.
         with open(os.path.join(self.log_dir, "LATEST"), "w") as f:

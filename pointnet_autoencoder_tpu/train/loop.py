@@ -99,6 +99,7 @@ class Trainer:
                  test_dataset: Optional[PartDataset] = None,
                  logger: Optional[Logger] = None):
         self.config = config
+        self._owns_logger = logger is None
         self.logger = logger or Logger(config.log_dir)
         snapshot_config(config.log_dir, config)
 
@@ -307,26 +308,38 @@ class Trainer:
         log.scalars("test", int(jax.device_get(self.state.step)), means)
         return means["loss"]
 
+    def close(self) -> None:
+        """Flush and release the logger (TensorBoard writers buffer up to
+        ~2 min of events) and the checkpoint manager. A caller-supplied
+        logger stays open -- the caller may still log after train()."""
+        if self._owns_logger:
+            self.logger.close()
+        self.ckpt.close()
+
     def train(self) -> float:
         cfg = self.config
-        if cfg.eval_only:
-            loss = self.eval_one_epoch(self.start_epoch)
-            self.logger.log(f"eval-only mode; eval loss {loss:.6f}")
-            return loss
-        profiled = False
-        for epoch in range(self.start_epoch, cfg.max_epoch):
-            self.logger.log(f"**** EPOCH {epoch:03d} ****")
-            if cfg.profile_dir and not profiled:
-                with jax.profiler.trace(cfg.profile_dir):
+        try:
+            if cfg.eval_only:
+                loss = self.eval_one_epoch(self.start_epoch)
+                self.logger.log(f"eval-only mode; eval loss {loss:.6f}")
+                return loss
+            profiled = False
+            for epoch in range(self.start_epoch, cfg.max_epoch):
+                self.logger.log(f"**** EPOCH {epoch:03d} ****")
+                if cfg.profile_dir and not profiled:
+                    with jax.profiler.trace(cfg.profile_dir):
+                        self.train_one_epoch(epoch)
+                    profiled = True
+                    self.logger.log(
+                        f"profiler trace written to {cfg.profile_dir}")
+                else:
                     self.train_one_epoch(epoch)
-                profiled = True
-                self.logger.log(f"profiler trace written to {cfg.profile_dir}")
-            else:
-                self.train_one_epoch(epoch)
-            epoch_loss = self.eval_one_epoch(epoch)
-            if epoch_loss < self.best_loss:
-                self.best_loss = epoch_loss
-                self._save("best", epoch)
-            if epoch % 10 == 0:
-                self._save("periodic", epoch)
-        return self.best_loss
+                epoch_loss = self.eval_one_epoch(epoch)
+                if epoch_loss < self.best_loss:
+                    self.best_loss = epoch_loss
+                    self._save("best", epoch)
+                if epoch % 10 == 0:
+                    self._save("periodic", epoch)
+            return self.best_loss
+        finally:
+            self.close()

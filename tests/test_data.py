@@ -164,6 +164,55 @@ def test_pipeline_eval_mode_deterministic_order(fixture_root):
     assert len(n1) == len(ds) // 4
 
 
+def test_pipeline_propagates_producer_errors(fixture_root):
+    """A batch that fails to assemble must fail the epoch in the consumer,
+    not silently truncate it (one corrupt shape file would otherwise
+    shrink every epoch without any error)."""
+    import pytest
+
+    ds = PartDataset(fixture_root, npoints=32, split="trainval", seed=0)
+
+    class Exploding:
+        npoints = ds.npoints
+
+        def __len__(self):
+            return len(ds)
+
+        def __getitem__(self, i):
+            if i >= 8:
+                raise IOError("corrupt shape")
+            return ds[i]
+
+    pipe = BatchPipeline(Exploding(), batch_size=8, shuffle=False,
+                         rotate=False)
+    it = pipe.epoch()
+    next(it)  # first batch (indices 0..7) assembles fine
+    with pytest.raises(IOError, match="corrupt shape"):
+        for _ in it:
+            pass
+
+
+def test_load_pts_rejects_wrong_column_count(tmp_path):
+    """A 6-column .pts (e.g. with normals) must error loudly, not be
+    reinterpreted as interleaved fake points."""
+    import pytest
+
+    from pointnet_autoencoder_tpu.data import fastio
+
+    p = tmp_path / "normals.pts"
+    p.write_text("1 2 3 0.1 0.2 0.3\n4 5 6 0.4 0.5 0.6\n")
+    with pytest.raises(ValueError, match="expected 3 columns, found 6"):
+        fastio.load_pts(str(p))
+    # And regardless of whether the native library is loaded.
+    lib = fastio._LIB
+    try:
+        fastio._LIB = None
+        with pytest.raises(ValueError, match="expected 3 columns"):
+            fastio.load_pts(str(p))
+    finally:
+        fastio._LIB = lib
+
+
 def test_pipeline_abandoned_epoch_stops_producer(fixture_root):
     """Consuming one batch and dropping the iterator must not strand the
     producer thread blocked on the bounded prefetch queue."""

@@ -107,6 +107,18 @@ def test_emd_gradient_descent_converges_to_parabola():
     assert float(loss) < 0.15 * loss0, (loss0, float(loss))
 
 
+def test_pallas_falls_back_for_very_wide_m():
+    """When even an 8-row (TN, M) tile would blow the VMEM budget, the
+    kernel wrapper must return None (dense fallback), not hand Mosaic a
+    guaranteed compile failure."""
+    from pointnet_autoencoder_tpu.ops import emd_pallas
+
+    assert emd_pallas._pick_tile_n(512, 2_000_000) == 0
+    x1 = jnp.zeros((1, 8, 3), jnp.float32)
+    x2 = jnp.zeros((1, 2_000_000, 3), jnp.float32)
+    assert emd_pallas.emd_forward_pallas(x1, x2) is None
+
+
 def test_emd_loss_zero_for_identical_clouds():
     x1, _ = _rand_clouds(1, 32, 32, seed=6)
     loss = emd.emd_loss(jnp.asarray(x1), jnp.asarray(x1))

@@ -79,6 +79,32 @@ def test_checkpoint_roundtrip_and_latest(tmp_path):
     assert mgr.latest() is None
 
 
+def test_checkpoint_save_is_guarded_and_leaves_no_temp(tmp_path):
+    """The policy tiers refuse to rmtree a pre-existing non-checkpoint
+    directory, and a successful save leaves no .saving temp behind (the
+    temp-then-rename swap keeps a crash from destroying the only periodic
+    checkpoint)."""
+    mgr = CheckpointManager(str(tmp_path))
+    precious = tmp_path / "model.ckpt"
+    precious.mkdir()
+    (precious / "notes.txt").write_text("not a checkpoint")
+    tree = {"w": np.ones((2,), np.float32)}
+    with pytest.raises(ValueError, match="refusing to overwrite"):
+        mgr.save_periodic(tree)
+    assert (precious / "notes.txt").read_text() == "not a checkpoint"
+
+    import shutil
+    shutil.rmtree(precious)
+    p = mgr.save_periodic(tree)
+    assert os.path.isdir(p)
+    assert not os.path.exists(p + ".saving")
+    # Overwrite of a real checkpoint still works and stays clean.
+    p = mgr.save_periodic({"w": np.zeros((2,), np.float32)})
+    restored = mgr.restore(p, tree)
+    np.testing.assert_array_equal(restored["w"], np.zeros((2,)))
+    assert not os.path.exists(p + ".saving")
+
+
 @pytest.fixture(scope="module")
 def fixture_root(tmp_path_factory):
     # 48 shapes/category -> 8 test shapes per category, so the test split
