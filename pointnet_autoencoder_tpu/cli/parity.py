@@ -69,7 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
 def check_splits(data_path: str, category: str):
     """Returns (is_real_archive, counts dict). Counts come from the actual
     loader (split json intersected with on-disk shapes), the same view
-    training sees."""
+    training sees.
+
+    Real-archive verification is only *defined* for Chair (the category
+    whose real split counts are recorded in SURVEY.md); for any other
+    category the run is recorded as count-unverified rather than falsely
+    labeled a fixture or falsely promoted to REAL."""
     from pointnet_autoencoder_tpu.data.shapenet_part import PartDataset
 
     counts = {
@@ -100,12 +105,19 @@ def run(argv=None) -> dict:
                                 variable_points=True, categories=cats)
 
     is_real, counts = check_splits(args.data_path, args.category)
-    data_kind = ("real shapenetcore_partanno archive" if is_real
-                 else "stand-in fixture (NOT the real archive)")
+    if is_real:
+        data_kind = "real shapenetcore_partanno archive"
+    elif args.category == "Chair":
+        data_kind = "stand-in fixture (NOT the real archive)"
+    else:
+        # Real-count verification is only defined for Chair; don't falsely
+        # call another category's data a fixture (or promote it to REAL).
+        data_kind = (f"counts unverified ({args.category}: no recorded "
+                     "real split sizes)")
     print(f"dataset: {data_kind}")
     print(f"  {args.category} trainval={counts['trainval']} "
           f"test={counts['test']}"
-          + ("" if is_real else
+          + ("" if is_real or args.category != "Chair" else
              f"  (real archive: trainval={REAL_CHAIR_TRAINVAL} "
              f"test={REAL_CHAIR_TEST})"))
 
@@ -237,7 +249,13 @@ _TABLE_MARKER = "|---|---|---|---|---|---|---|---|\n"
 def _append_results(path: str, record: dict, is_real: bool) -> None:
     header = "## Real-data parity runs"
     steady = record["post_warmup_shapes_per_sec"]
-    line = (f"| {record['date']} | {'REAL' if is_real else 'fixture'} "
+    if is_real:
+        kind = "REAL"
+    elif "fixture" in record["data"]:
+        kind = "fixture"
+    else:
+        kind = "unverified"
+    line = (f"| {record['date']} | {kind} "
             f"| `{record['command']}` | {record['best_eval_chamfer']:.4f} "
             f"| {record['train_steps']} "
             f"| {record['wall_seconds_incl_compile']:.0f}s "
@@ -262,14 +280,20 @@ def _append_results(path: str, record: dict, is_real: bool) -> None:
             + _TABLE_HEADER + _TABLE_MARKER
         )
         hdr_at = text.find(header)
-    marker_at = text.find(_TABLE_MARKER, hdr_at)
+    # Bound the marker search to this section: a current-format table in a
+    # LATER section must not swallow the row when our own table is still
+    # the old format.
+    next_section = text.find("\n## ", hdr_at + 1)
+    section_end = next_section if next_section != -1 else len(text)
+    marker_at = text.find(_TABLE_MARKER, hdr_at, section_end)
     if marker_at == -1:
         # Section exists but in an older column format: start a fresh
-        # current-format table at the end instead of corrupting (or
-        # crashing on) the old one. The row must never be lost -- it can
-        # summarize a multi-hour run.
-        text += "\n" + _TABLE_HEADER + _TABLE_MARKER
-        marker_at = text.rfind(_TABLE_MARKER)
+        # current-format table at the end of this section instead of
+        # corrupting (or crashing on) the old one. The row must never be
+        # lost -- it can summarize a multi-hour run.
+        insert = "\n" + _TABLE_HEADER + _TABLE_MARKER
+        text = text[:section_end] + insert + text[section_end:]
+        marker_at = text.index(_TABLE_MARKER, hdr_at)
     # Insert the row right after the table header inside our section.
     at = marker_at + len(_TABLE_MARKER)
     text = text[:at] + line + text[at:]

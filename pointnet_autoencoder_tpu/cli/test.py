@@ -26,7 +26,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     d = TestConfig()
     p.add_argument("--gpu", type=int, default=0,
-                   help="Accelerator index to use [default: 0]")
+                   help="Accepted for reference compatibility; ignored "
+                        "(the TPU runtime owns device selection)")
     p.add_argument("--num_point", type=int, default=d.num_point,
                    help="Point Number [default: 2048]")
     p.add_argument("--category", default=None,
@@ -69,7 +70,13 @@ def main(argv=None) -> int:
                                batch_size=1)
 
     out_dir = args.out_dir
-    if out_dir is None and not args.interactive:
+    if args.interactive:
+        # The interactive branch renders to the viewer only; never claim
+        # PNGs were written.
+        if out_dir:
+            print("--interactive ignores --out_dir (no PNGs are written)")
+        out_dir = None
+    elif out_dir is None:
         out_dir = os.path.join(
             os.path.dirname(os.path.abspath(args.model_path)), "renders"
         )

@@ -3,9 +3,11 @@
     python -m pointnet_autoencoder_tpu.cli.train \
         --model model --category Chair --no_rotation
 
-Reference flags preserved (train.py:20-34); --gpu is accepted and mapped to
-a device index for compatibility. TPU-build additions: --data_path,
---resume, --seed, --data_parallel, --bf16, --profile_dir, --lr_floor.
+Reference flags preserved (train.py:20-34); --gpu is accepted for
+reference-CLI compatibility but has no effect -- device selection on TPU
+is the runtime's job and the mesh spans all visible devices (use
+--data_parallel to bound it). TPU-build additions: --data_path, --resume,
+--seed, --data_parallel, --bf16, --profile_dir, --lr_floor.
 """
 
 from __future__ import annotations
@@ -21,7 +23,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     d = TrainConfig()
     p.add_argument("--gpu", type=int, default=0,
-                   help="Accelerator index to use [default: 0]")
+                   help="Accepted for reference compatibility; ignored "
+                        "(the TPU runtime owns device selection)")
     p.add_argument("--model", default=d.model,
                    help="Model name [default: model]")
     p.add_argument("--category", default=None,

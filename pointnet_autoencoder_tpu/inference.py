@@ -117,13 +117,16 @@ class InferenceSession:
         restored = None
         errors = []
         for opt_name, momentum in _optimizer_candidates(ckpt_dir):
-            tx = make_optimizer(opt_name, lambda s: 1e-3, momentum)
-            abstract = {
-                "state": TrainState.create(variables, tx),
-                "epoch": 0,
-                "best_loss": 0.0,
-            }
+            # Everything inside the try: an unrecognized optimizer name
+            # from a (possibly newer) config.json must fall through to the
+            # known-optimizer candidates, not abort the restore.
             try:
+                tx = make_optimizer(opt_name, lambda s: 1e-3, momentum)
+                abstract = {
+                    "state": TrainState.create(variables, tx),
+                    "epoch": 0,
+                    "best_loss": 0.0,
+                }
                 restored = mgr.restore(model_path, abstract)
                 break
             except (ValueError, KeyError, TypeError) as e:
@@ -183,6 +186,8 @@ class InferenceSession:
     def _run(self, pts: np.ndarray):
         """Pad/split to the compiled batch size; yields (pred, emb) chunks."""
         n = pts.shape[0]
+        if n == 0:
+            raise ValueError("got 0 input shapes")
         bs = self.batch_size
         preds, embs = [], []
         for s in range(0, n, bs):
@@ -226,11 +231,24 @@ class InferenceSession:
         order = rng.permutation(len(dataset))
         if num_shapes is not None:
             order = order[:num_shapes]
+        if len(order) == 0:
+            raise ValueError(
+                f"dataset yielded no shapes (len={len(dataset)}, "
+                f"num_shapes={num_shapes})"
+            )
         clouds = np.stack([dataset[int(i)][0] for i in order])
         preds, _ = self._run(clouds)
         cds = []
         bs = self.batch_size
         for s in range(0, len(clouds), bs):
-            cds.append(self.chamfer(preds[s:s + bs], clouds[s:s + bs]))
+            pc, cc = preds[s:s + bs], clouds[s:s + bs]
+            # Pad the ragged final chunk so the jitted chamfer keeps its
+            # one compiled shape (compiles are slow server-side RPCs here).
+            pad = bs - pc.shape[0]
+            if pad:
+                zeros = np.zeros((pad,) + pc.shape[1:], np.float32)
+                pc = np.concatenate([pc, zeros])
+                cc = np.concatenate([cc, zeros])
+            cds.append(self.chamfer(pc, cc)[:bs - pad])
         per_shape = np.concatenate(cds)
         return float(per_shape.mean()), per_shape

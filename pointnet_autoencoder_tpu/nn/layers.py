@@ -111,25 +111,14 @@ class PointMLP(nn.Module):
         return x
 
 
-class FC(nn.Module):
-    """Fully connected + optional BN + ReLU (tf_util.fully_connected:329)."""
+class FC(PointMLP):
+    """Fully connected + optional BN + ReLU (tf_util.fully_connected:329).
 
-    features: int
+    The same Dense+BN+activation block as PointMLP (a shared MLP *is* a
+    per-point FC); only the BN default differs, per the reference's two
+    constructors. Variable tree layout is identical."""
+
     bn: bool = False
-    activation: Optional[Callable] = nn.relu
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, train: bool = True, bn_momentum=0.9) -> jax.Array:
-        x = nn.Dense(
-            self.features, kernel_init=glorot, bias_init=nn.initializers.zeros,
-            dtype=self.dtype, name="dense",
-        )(x)
-        if self.bn:
-            x = BatchNorm(name="bn")(x, train, bn_momentum)
-        if self.activation is not None:
-            x = self.activation(x)
-        return x
 
 
 class UpConv(nn.Module):

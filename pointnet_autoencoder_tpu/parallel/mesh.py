@@ -99,6 +99,15 @@ def initialize_distributed_if_requested() -> bool:
         return True
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if addr is not None:
+        missing = [v for v in ("JAX_NUM_PROCESSES", "JAX_PROCESS_ID")
+                   if v not in os.environ]
+        if missing:
+            raise RuntimeError(
+                "JAX_COORDINATOR_ADDRESS is set but "
+                f"{', '.join(missing)} is missing; multi-host launch "
+                "needs all three of JAX_COORDINATOR_ADDRESS, "
+                "JAX_NUM_PROCESSES, JAX_PROCESS_ID exported on every host"
+            )
         jax.distributed.initialize(
             coordinator_address=addr,
             num_processes=int(os.environ["JAX_NUM_PROCESSES"]),

@@ -147,8 +147,10 @@ def save_image(img: np.ndarray, path: str) -> None:
 def group_colors(num_point: int, num_group: int,
                  rng: Optional[np.random.Generator] = None) -> np.ndarray:
     """Per-point colors for --num_group visualization of hierarchical
-    decoders (test.py:86-93): contiguous blocks of num_point/num_group
-    points share a random color."""
+    decoders (test.py:86-93): contiguous blocks of num_point//num_group
+    points share a random color. When num_group does not divide num_point
+    the trailing remainder points stay colored (0,0,0) -- exactly the
+    reference's Python-2 integer-division behavior (test.py:92)."""
     rng = rng or np.random.default_rng(0)
     colors = rng.random((num_group, 3)).astype(np.float32)
     per = num_point // num_group

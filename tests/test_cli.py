@@ -109,6 +109,7 @@ def test_parity_append_survives_old_format_results(tmp_path):
     )
     record = {
         "date": "2026-08-17", "command": "parity --model model",
+        "data": "stand-in fixture (NOT the real archive)",
         "best_eval_chamfer": 0.01, "train_steps": 30,
         "wall_seconds_incl_compile": 100.0,
         "post_warmup_shapes_per_sec": None, "backend": "cpu x8",
