@@ -43,6 +43,7 @@ def main() -> None:
     batch_size, num_point = 32, 2048
     mesh = meshlib.make_mesh()
     n_chips = len(jax.devices())
+    meshlib.check_batch_divisible(batch_size, mesh)
     lr = schedules.learning_rate_schedule(0.001, 0.7, batch_size, 200000)
     bn = schedules.bn_momentum_schedule(batch_size, 200000)
     tx = make_optimizer("adam", lr)
@@ -109,12 +110,15 @@ def main() -> None:
                 batch_size / emd_step_s / n_chips, 2),
             # Hardware-normalized: measured vs the analytic v5e floor
             # (sum of MXU matmul time + loss-kernel VPU time; see
-            # utils/roofline.py for the op accounting).
+            # utils/roofline.py for the op accounting). The floor models
+            # ONE chip's share of the sharded batch, matching the per-chip
+            # throughput number.
             "roofline": {
                 "model": roofline.roofline_report(
-                    "model", batch_size, num_point, 1e3 * step_s),
+                    "model", batch_size // n_chips, num_point, 1e3 * step_s),
                 "model_emd": roofline.roofline_report(
-                    "model_emd", batch_size, num_point, 1e3 * emd_step_s),
+                    "model_emd", batch_size // n_chips, num_point,
+                    1e3 * emd_step_s),
             },
         },
     }))

@@ -94,7 +94,9 @@ def render_plan(target: np.ndarray, points: np.ndarray, match: np.ndarray,
     # match rows index the second cloud (points); columns index target.
     plan = np.asarray(match[0]).T  # (n_target, n_points)
     for l in range(target.shape[1]):
-        row = plan[l]
+        # float64: f32 probabilities can miss rng.choice's sum-to-1
+        # tolerance after division.
+        row = np.asarray(plan[l], np.float64)
         tot = row.sum()
         if tot <= 0:
             continue

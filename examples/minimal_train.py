@@ -46,15 +46,18 @@ tx = make_optimizer("adam", lr)
 state = TrainState.create(variables, tx)
 train_step, _ = make_step_fns(model, spec, tx, bn, lr)
 
+# The device-resident arrays are jit ARGUMENTS, not closure constants:
+# a closed-over-constant gather graph produces wrong results on the
+# axon-tunneled backend (CLAUDE.md gotchas; train/loop.py does the same).
 @jax.jit
-def step(state, idxs, key):
-    batch = assemble_batch(device_data.data, device_data.lengths, idxs, key,
-                           NUM_POINT, rotate=True)
+def step(state, data, lengths, idxs, key):
+    batch = assemble_batch(data, lengths, idxs, key, NUM_POINT, rotate=True)
     return train_step(state, batch)
 
 for epoch in range(EPOCHS):
     metrics = None
     for idxs, key in batches.epoch():
-        state, metrics = step(state, idxs, key)
+        state, metrics = step(state, device_data.data, device_data.lengths,
+                              idxs, key)
     print(f"epoch {epoch}: loss={float(metrics['loss']):.4f} "
           f"chamfer={float(metrics['pcloss']):.4f}")

@@ -29,7 +29,12 @@ def build(verbose: bool = True) -> bool:
     ok = True
     for lib, sources in TARGETS.items():
         srcs = [os.path.join(HERE, s) for s in sources]
-        if not all(os.path.exists(s) for s in srcs):
+        missing = [s for s in srcs if not os.path.exists(s)]
+        if missing:
+            # Building nothing is a failure, not a silent success.
+            print(f"[csrc] cannot build {lib}: missing source "
+                  f"{', '.join(missing)}", file=sys.stderr)
+            ok = False
             continue
         out = os.path.join(HERE, lib)
         if os.path.exists(out) and all(
@@ -44,7 +49,13 @@ def build(verbose: bool = True) -> bool:
         try:
             subprocess.run(cmd, check=True, capture_output=not verbose)
         except (subprocess.CalledProcessError, FileNotFoundError) as e:
-            print(f"[csrc] build of {lib} failed: {e}", file=sys.stderr)
+            detail = ""
+            stderr = getattr(e, "stderr", None)
+            if stderr:  # captured when not verbose: surface the compiler text
+                detail = "\n" + (stderr.decode(errors="replace")
+                                 if isinstance(stderr, bytes) else str(stderr))
+            print(f"[csrc] build of {lib} failed: {e}{detail}",
+                  file=sys.stderr)
             ok = False
     return ok
 

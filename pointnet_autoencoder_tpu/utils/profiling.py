@@ -18,7 +18,13 @@ import numpy as np
 
 class StepTimer:
     """Wall-clock timer for jitted steps. ``block=True`` synchronizes on the
-    device result, so timings reflect device completion, not dispatch."""
+    device result, so timings reflect device completion, not dispatch.
+
+    The barrier is ``block_until_ready`` plus a one-element host fetch of
+    the first array leaf: on the axon-tunneled backend used for
+    development, ``block_until_ready`` alone returns at dispatch time
+    (CLAUDE.md gotchas) and only a host fetch proves device completion.
+    The fetch moves a single element, not the whole result tree."""
 
     def __init__(self, max_records: int = 10000):
         self._times: List[float] = []
@@ -28,10 +34,21 @@ class StepTimer:
     def start(self) -> None:
         self._t0 = time.perf_counter()
 
+    @staticmethod
+    def _barrier(result) -> None:
+        jax.block_until_ready(result)
+        for leaf in jax.tree_util.tree_leaves(result):
+            if hasattr(leaf, "ndim"):
+                flat = leaf.reshape(-1) if leaf.ndim else leaf
+                np.asarray(flat[0] if leaf.ndim else flat)  # host fetch
+                return
+
     def stop(self, result=None, block: bool = True) -> float:
+        if self._t0 is None:
+            raise RuntimeError("StepTimer.stop() without a matching start()")
         if result is not None and block:
-            jax.block_until_ready(result)
-        dt = time.perf_counter() - (self._t0 or time.perf_counter())
+            self._barrier(result)
+        dt = time.perf_counter() - self._t0
         if len(self._times) < self._max:
             self._times.append(dt)
         self._t0 = None

@@ -29,3 +29,20 @@ def test_trace_writes(tmp_path):
     with trace(str(tmp_path / "tr")):
         jnp.sum(jnp.ones((8, 8))).block_until_ready()
     assert (tmp_path / "tr").exists()
+
+
+def test_step_timer_stop_without_start_raises():
+    """Misuse (stop with no start, or double stop) must raise, not record
+    a ~0 sample that silently drags the percentile summary toward zero."""
+    import pytest
+
+    from pointnet_autoencoder_tpu.utils.profiling import StepTimer
+
+    t = StepTimer()
+    with pytest.raises(RuntimeError, match="without a matching start"):
+        t.stop()
+    t.start()
+    t.stop()
+    with pytest.raises(RuntimeError, match="without a matching start"):
+        t.stop()
+    assert t.summary()["steps"] == 1
