@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pointnet_autoencoder_tpu.models.autoencoder import DECODERS
 from pointnet_autoencoder_tpu.models.registry import get_model_spec
 from pointnet_autoencoder_tpu.ops.chamfer import nn_distance
 from pointnet_autoencoder_tpu.train.checkpoint import CheckpointManager
@@ -69,6 +70,7 @@ class InferenceSession:
         self.num_point = num_point
         self.batch_size = batch_size
         spec = get_model_spec(model)
+        self._spec = spec
         self._model, variables = spec.init_variables(
             jax.random.PRNGKey(0), num_point
         )
@@ -103,6 +105,26 @@ class InferenceSession:
             return jnp.mean(d1, axis=1) + jnp.mean(d2, axis=1)
 
         self._chamfer = jax.jit(per_shape_chamfer)
+
+        # Decoder-only application for latent-space use (decode): the
+        # decoder is a named submodule, so the standalone module class
+        # applied against the 'decoder' variable sub-tree is exactly the
+        # decoder stage of the full forward.
+        decoder_module = DECODERS[spec.decoder](num_point)
+
+        def dec_fwd(dec_vars, feat):
+            pred, _extras = decoder_module.apply(
+                dec_vars, feat, False, 0.0
+            )
+            return pred
+
+        self._dec_vars = {
+            "params": self._variables["params"]["decoder"],
+            "batch_stats": self._variables.get(
+                "batch_stats", {}).get("decoder", {}),
+        }
+        self._dec_jit = jax.jit(dec_fwd)
+        self._decode_fn = lambda feat: self._dec_jit(self._dec_vars, feat)
 
     def _restore_train_ckpt(self, model_path: str, variables):
         # The stored tree is {state: TrainState, epoch, best_loss}; only
@@ -215,6 +237,39 @@ class InferenceSession:
         pts, single = self._batched(points)
         _, emb = self._run(pts)
         return emb[0] if single else emb
+
+    def decode(self, embeddings) -> np.ndarray:
+        """(B, D) or (D,) latent(s) -> decoded cloud(s) (B, num_point, 3).
+
+        Runs the decoder stage alone on externally supplied embeddings —
+        latent interpolation/arithmetic/sampling (see
+        examples/latent_interp.py). ``decode(embed(x))`` is exactly
+        ``reconstruct(x)``. The reference has no analog: test.py only ever
+        runs the full forward (test.py:59-69). D must match the dimension
+        this model publishes as the 'embedding' end-point.
+        """
+        emb = np.asarray(embeddings, np.float32)
+        single = emb.ndim == 1
+        if single:
+            emb = emb[None]
+        if emb.ndim != 2:
+            raise ValueError(f"expected (B, D) or (D,), got {emb.shape}")
+        n, bs = emb.shape[0], self.batch_size
+        if n == 0:
+            raise ValueError("got 0 embeddings")
+        preds = []
+        for s in range(0, n, bs):
+            chunk = emb[s:s + bs]
+            pad = bs - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad, emb.shape[1]), np.float32)]
+                )
+            preds.append(
+                np.asarray(self._decode_fn(jnp.asarray(chunk)))[:bs - pad]
+            )
+        pred = np.concatenate(preds)
+        return pred[0] if single else pred
 
     def chamfer(self, pred, target) -> np.ndarray:
         """Per-shape raw Chamfer (the reference's pcloss) between two

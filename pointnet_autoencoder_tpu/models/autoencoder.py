@@ -35,6 +35,16 @@ from pointnet_autoencoder_tpu.ops import chamfer, emd
 Array = jax.Array
 EndPoints = Dict[str, Array]
 
+# Decoder families by registry name. Shared by PointAutoencoder and by
+# decoder-only application (InferenceSession.decode runs one of these
+# standalone against the 'decoder' variable sub-tree).
+DECODERS = {
+    "fc": FCDecoder,
+    "upconv": UpconvDecoder,
+    "fc_upconv": FCUpconvDecoder,
+    "hierarchy": HierarchicalDecoder,
+}
+
 
 class PointAutoencoder(nn.Module):
     """Encoder + neck + decoder. ``decoder`` selects the family; ``neck``
@@ -57,12 +67,7 @@ class PointAutoencoder(nn.Module):
                 feat, train, bn_momentum
             )
         end_points: EndPoints = {"embedding": feat}
-        dec_cls = {
-            "fc": FCDecoder,
-            "upconv": UpconvDecoder,
-            "fc_upconv": FCUpconvDecoder,
-            "hierarchy": HierarchicalDecoder,
-        }[self.decoder]
+        dec_cls = DECODERS[self.decoder]
         pred, extras = dec_cls(self.num_point, dtype=self.dtype, name="decoder")(
             feat, train, bn_momentum
         )

@@ -62,6 +62,29 @@ def test_session_embed_and_chamfer(trained):
     np.testing.assert_allclose(cd, 0.0, atol=1e-6)
 
 
+def test_session_decode_from_latent(trained):
+    """decode() must be exactly the decoder stage of the full forward:
+    decode(embed(x)) == reconstruct(x), and interpolated latents decode to
+    finite clouds of the right shape (the latent-space serving surface —
+    no reference analog)."""
+    root, ckpt = trained
+    sess = InferenceSession("model", ckpt, NUM_POINT, batch_size=4)
+    ds = PartDataset(root, npoints=NUM_POINT, split="test",
+                     class_choice=["Chair"], seed=1)
+    batch = np.stack([ds[i][0] for i in range(2)])
+    emb = sess.embed(batch)
+    np.testing.assert_allclose(sess.decode(emb), sess.reconstruct(batch),
+                               rtol=1e-5, atol=1e-5)
+    # Single latent in, single cloud out.
+    one = sess.decode(emb[0])
+    assert one.shape == (NUM_POINT, 3)
+    # A latent neither endpoint produced still decodes to a valid cloud.
+    mid = sess.decode(0.5 * (emb[0] + emb[1]))
+    assert mid.shape == (NUM_POINT, 3) and np.all(np.isfinite(mid))
+    with pytest.raises(ValueError):
+        sess.decode(np.zeros((2, 3, 4), np.float32))
+
+
 def test_session_evaluate(trained):
     root, ckpt = trained
     sess = InferenceSession("model", ckpt, NUM_POINT, batch_size=4)
