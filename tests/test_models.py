@@ -79,6 +79,29 @@ def test_loss_and_gradient_flow(name, n, b):
     assert all(nonzero), f"{sum(nonzero)}/{len(nonzero)} params got gradient"
 
 
+@pytest.mark.parametrize("name,n,b", CONFIGS)
+def test_decoder_subtree_application_matches_full_forward(name, n, b):
+    """The standalone decoder module applied against the 'decoder' variable
+    sub-tree must reproduce the full forward's prediction from the
+    published embedding — the invariant InferenceSession.decode relies on,
+    for every decoder family."""
+    from pointnet_autoencoder_tpu.models.autoencoder import DECODERS
+
+    spec = get_model_spec(name)
+    model, variables = spec.init_variables(jax.random.PRNGKey(0), n, b)
+    pts = jax.random.normal(jax.random.PRNGKey(1), (b, n, 3))
+    pred, ep = model.apply(variables, pts, train=False, bn_momentum=0.9)
+
+    decoder = DECODERS[spec.decoder](n)
+    dec_vars = {
+        "params": variables["params"]["decoder"],
+        "batch_stats": variables.get("batch_stats", {}).get("decoder", {}),
+    }
+    pred2, _ = decoder.apply(dec_vars, ep["embedding"], False, 0.9)
+    np.testing.assert_allclose(np.asarray(pred2), np.asarray(pred),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_point_constraints_enforced():
     with pytest.raises(ValueError):
         get_model_spec("model_upconv").make(1024)
