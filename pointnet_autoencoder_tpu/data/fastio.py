@@ -97,6 +97,7 @@ def load_pts(path: str) -> np.ndarray:
 
 def load_seg(path: str) -> np.ndarray:
     """Load an N-row integer label file."""
+    _check_columns(path, 1)
     lib = _find_lib()
     if lib is None:
         return np.loadtxt(path).astype(np.int64)

@@ -205,8 +205,13 @@ class InferenceSession:
             )
         return pts, single
 
-    def _run(self, pts: np.ndarray):
-        """Pad/split to the compiled batch size; yields (pred, emb) chunks."""
+    def _run(self, pts: np.ndarray, fetch_pred: bool = True,
+             fetch_emb: bool = True):
+        """Pad/split to the compiled batch size; returns (pred, emb).
+
+        Only the requested outputs are transferred to the host (each fetch
+        is a blocking RTT on tunneled backends); the unrequested slot comes
+        back as None."""
         n = pts.shape[0]
         if n == 0:
             raise ValueError("got 0 input shapes")
@@ -220,22 +225,25 @@ class InferenceSession:
                     [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)]
                 )
             pred, emb = self._fwd(jnp.asarray(chunk))
-            preds.append(np.asarray(pred)[:bs - pad])
-            embs.append(np.asarray(emb)[:bs - pad])
-        return np.concatenate(preds), np.concatenate(embs)
+            if fetch_pred:
+                preds.append(np.asarray(pred)[:bs - pad])
+            if fetch_emb:
+                embs.append(np.asarray(emb)[:bs - pad])
+        return (np.concatenate(preds) if fetch_pred else None,
+                np.concatenate(embs) if fetch_emb else None)
 
     # -- public API -----------------------------------------------------------
 
     def reconstruct(self, points) -> np.ndarray:
         """(B, N, 3) or (N, 3) -> reconstructed cloud(s), same leading shape."""
         pts, single = self._batched(points)
-        pred, _ = self._run(pts)
+        pred, _ = self._run(pts, fetch_emb=False)
         return pred[0] if single else pred
 
     def embed(self, points) -> np.ndarray:
         """(B, N, 3) or (N, 3) -> embedding(s) (B, D) / (D,)."""
         pts, single = self._batched(points)
-        _, emb = self._run(pts)
+        _, emb = self._run(pts, fetch_pred=False)
         return emb[0] if single else emb
 
     def decode(self, embeddings) -> np.ndarray:
@@ -292,7 +300,7 @@ class InferenceSession:
                 f"num_shapes={num_shapes})"
             )
         clouds = np.stack([dataset[int(i)][0] for i in order])
-        preds, _ = self._run(clouds)
+        preds, _ = self._run(clouds, fetch_emb=False)
         cds = []
         bs = self.batch_size
         for s in range(0, len(clouds), bs):

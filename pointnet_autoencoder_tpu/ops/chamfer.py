@@ -54,7 +54,7 @@ def _auto_impl() -> str:
 # ---------------------------------------------------------------------------
 
 
-def _sqdist_matrix(a: jax.Array, b: jax.Array) -> jax.Array:
+def sqdist_matrix(a: jax.Array, b: jax.Array) -> jax.Array:
     """(B,N,3) x (B,M,3) -> (B,N,M) squared distances.
 
     Written as three fused outer differences (same arithmetic as the Pallas
@@ -69,7 +69,7 @@ def _sqdist_matrix(a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def _nn_distance_xla(xyz1, xyz2):
-    d2 = _sqdist_matrix(xyz1, xyz2)  # (B,N,M)
+    d2 = sqdist_matrix(xyz1, xyz2)  # (B,N,M)
     dist1 = jnp.min(d2, axis=2)
     idx1 = jnp.argmin(d2, axis=2).astype(jnp.int32)
     dist2 = jnp.min(d2, axis=1)

@@ -38,6 +38,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
+# Shared squared-distance helper: the fused outer-difference form (NOT the
+# |a|^2+|b|^2-2ab matmul identity) so every impl agrees bit-for-bit with
+# the Pallas kernels -- see its docstring for the footgun.
+from pointnet_autoencoder_tpu.ops.chamfer import sqdist_matrix
+
 _LEVELS = tuple(
     0.0 if j == -2 else -(4.0**j) for j in range(7, -3, -1)
 )
@@ -59,10 +64,7 @@ def _approx_match_dense(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
     x2 = xyz2.astype(f32)
 
     # (B,N,M) squared distances, computed once; K = exp(level*d2) per level.
-    d2 = jnp.zeros((b, n, m), f32)
-    for c in range(3):
-        diff = x1[:, :, None, c] - x2[:, None, :, c]
-        d2 = d2 + diff * diff
+    d2 = sqdist_matrix(x1, x2)
 
     levels = jnp.asarray(_LEVELS, f32)
 
@@ -110,11 +112,7 @@ def approx_match(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
 
 
 def _match_cost_impl(xyz1, xyz2, match):
-    d2 = jnp.zeros(xyz1.shape[:1] + (xyz1.shape[1], xyz2.shape[1]),
-                   jnp.float32)
-    for c in range(3):
-        diff = xyz1[:, :, None, c] - xyz2[:, None, :, c]
-        d2 = d2 + diff * diff
+    d2 = sqdist_matrix(xyz1.astype(jnp.float32), xyz2.astype(jnp.float32))
     d = jnp.sqrt(d2)  # true (unsquared) distance, tf_approxmatch.cpp:85-105
     return jnp.einsum("bnm,bmn->b", d, match)
 
@@ -133,11 +131,7 @@ def _match_cost_bwd(res, g):
     rsqrt(max(d2, 1e-20)), tf_approxmatch_g.cu:244,282). Works one
     coordinate at a time so only (B,N,M) buffers are live, never (B,N,M,3)."""
     xyz1, xyz2, match = res
-    d2 = jnp.zeros(xyz1.shape[:1] + (xyz1.shape[1], xyz2.shape[1]),
-                   jnp.float32)
-    for c in range(3):
-        diff = xyz1[:, :, None, c] - xyz2[:, None, :, c]
-        d2 = d2 + diff * diff
+    d2 = sqdist_matrix(xyz1.astype(jnp.float32), xyz2.astype(jnp.float32))
     rinv = jax.lax.rsqrt(jnp.maximum(d2, 1e-20))
     w = jnp.swapaxes(match, 1, 2) * rinv  # (B,N,M)
     g1_cols = []
@@ -192,10 +186,7 @@ def _emd_forward(xyz1: jax.Array, xyz2: jax.Array):
     x1 = xyz1.astype(f32)
     x2 = xyz2.astype(f32)
 
-    d2 = jnp.zeros((b, n, m), f32)
-    for c in range(3):
-        diff = x1[:, :, None, c] - x2[:, None, :, c]
-        d2 = d2 + diff * diff
+    d2 = sqdist_matrix(x1, x2)
     d = jnp.sqrt(d2)
     rinv = jax.lax.rsqrt(jnp.maximum(d2, 1e-20))
 

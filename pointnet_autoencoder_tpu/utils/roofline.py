@@ -21,9 +21,9 @@ MXU_BF16_FLOPS = 197e12
 VPU_OPS = 3.9e12
 
 # PointNet encoder per-point channel chain (nn/encoder.py; reference
-# models/model.py:30-50) and the FC decoder widths (nn/decoders.py).
+# models/model.py:30-50). The FC decoder widths (nn/decoders.py) end at
+# num_point*3, so they are derived per call, not hardcoded.
 _ENCODER_CHANNELS = (3, 64, 64, 64, 128, 1024)
-_FC_DECODER = (1024, 1024, 1024, 2048 * 3)
 
 # Measured Mosaic lowering costs per pair, per direction, for the Chamfer
 # forward kernel: 8 flops for d2 + 1 for the min reduction + ~3 for the
@@ -47,9 +47,10 @@ def network_matmul_flops(batch: int, num_point: int) -> float:
         2 * cin * cout
         for cin, cout in zip(_ENCODER_CHANNELS[:-1], _ENCODER_CHANNELS[1:])
     )
+    fc_decoder = (1024, 1024, 1024, num_point * 3)
     fc = sum(
         2 * cin * cout
-        for cin, cout in zip(_FC_DECODER[:-1], _FC_DECODER[1:])
+        for cin, cout in zip(fc_decoder[:-1], fc_decoder[1:])
     )
     fwd = batch * (num_point * per_point + fc)
     return 3.0 * fwd

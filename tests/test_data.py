@@ -213,6 +213,27 @@ def test_load_pts_rejects_wrong_column_count(tmp_path):
         fastio._LIB = lib
 
 
+def test_load_seg_rejects_wrong_column_count(tmp_path):
+    """A multi-column label file (e.g. label + confidence) must error
+    loudly: the native path would otherwise consume the first N tokens —
+    silently mislabeling every point past row N/2."""
+    import pytest
+
+    from pointnet_autoencoder_tpu.data import fastio
+
+    p = tmp_path / "twocol.seg"
+    p.write_text("1 0.9\n2 0.8\n")
+    with pytest.raises(ValueError, match="expected 1 columns, found 2"):
+        fastio.load_seg(str(p))
+    lib = fastio._LIB
+    try:
+        fastio._LIB = None
+        with pytest.raises(ValueError, match="expected 1 columns"):
+            fastio.load_seg(str(p))
+    finally:
+        fastio._LIB = lib
+
+
 def test_pipeline_abandoned_epoch_stops_producer(fixture_root):
     """Consuming one batch and dropping the iterator must not strand the
     producer thread blocked on the bounded prefetch queue."""

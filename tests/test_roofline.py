@@ -34,6 +34,21 @@ def test_model_emd_step_floor_matches_documented():
     assert 70.0 < r["pct_of_roofline"] < 85.0
 
 
+def test_decoder_flops_track_num_point():
+    """The FC decoder's final matmul is 1024 x (num_point*3); the budget
+    must scale with num_point rather than hardcode the 2048 workload."""
+    f2048 = roofline.network_matmul_flops(1, 2048)
+    f1024 = roofline.network_matmul_flops(1, 1024)
+    encoder_per_point = sum(
+        2 * a * b
+        for a, b in zip((3, 64, 64, 64, 128), (64, 64, 64, 128, 1024))
+    )
+    # fwd delta = 1024 fewer points of encoder work + a 1024x(1024*3)
+    # smaller fc3; the 3x factor is the module's fwd+bwd convention.
+    expected = 3.0 * (1024 * encoder_per_point + 2 * 1024 * 1024 * 3)
+    assert f2048 - f1024 == pytest.approx(expected)
+
+
 def test_unbudgeted_config_raises():
     with pytest.raises(ValueError, match="no analytic budget"):
         roofline.step_floor_ms("model_upconv", 32, 2048)
