@@ -55,8 +55,17 @@ void render_spheres(int h, int w, uint8_t* img, int n, const float* xyz,
   const float zspan = std::max(zmax - zmin, 1e-6f);
 
   for (int i = 0; i < n; ++i) {
-    const int cx = static_cast<int>(std::lround(xyz[i * 3 + 0]));
-    const int cy = static_cast<int>(std::lround(xyz[i * 3 + 1]));
+    const float fx = xyz[i * 3 + 0];
+    const float fy = xyz[i * 3 + 1];
+    // Early-out for off-screen (or NaN/overflowing) centers: keeps the
+    // cx + dx arithmetic below safely in int range and skips the whole
+    // disc for points that cannot touch the image.
+    if (!(fx >= -radius && fx <= w + radius &&
+          fy >= -radius && fy <= h + radius)) {
+      continue;
+    }
+    const int cx = static_cast<int>(std::lround(fx));
+    const int cy = static_cast<int>(std::lround(fy));
     const float cz = xyz[i * 3 + 2];
     // Farther points render dimmer (0.3 .. 1.0).
     const float depth_gain = 0.3f + 0.7f * ((cz - zmin) / zspan);

@@ -56,6 +56,33 @@ def test_native_matches_numpy_fallback():
     assert (diff > 2).mean() < 0.01
 
 
+@pytest.mark.skipif(not render.native_available(),
+                    reason="native renderer not built")
+def test_native_renderer_hostile_coordinates():
+    """NaN / wildly off-screen centers must be skipped, not splatted via
+    overflowing int arithmetic (the guard in render_balls.cpp)."""
+    import ctypes
+
+    lib = render._find_lib()
+    size = 64
+    img = np.zeros((size, size, 3), np.uint8)
+    proj = np.array(
+        [[np.nan, 10.0, 1.0],
+         [10.0, np.nan, 1.0],
+         [1e12, 10.0, 1.0],
+         [10.0, -1e12, 1.0],
+         [3e9, 3e9, 1.0]],  # > INT_MAX after lround
+        np.float32,
+    )
+    rgb = np.full((len(proj), 3), 255.0, np.float32)
+    lib.render_spheres(
+        size, size, img.ctypes.data_as(ctypes.c_void_p), len(proj),
+        np.ascontiguousarray(proj).ctypes.data_as(ctypes.c_void_p),
+        np.ascontiguousarray(rgb).ctypes.data_as(ctypes.c_void_p), 4,
+    )
+    assert img.sum() == 0  # nothing rendered, nothing corrupted
+
+
 def test_group_colors_blocks():
     c = render.group_colors(64, 4, np.random.default_rng(0))
     assert c.shape == (64, 3)
