@@ -62,13 +62,27 @@ class InferenceSession:
         (e.g. log/model.ckpt or log/best_model_epoch_087.ckpt).
       num_point: points per shape the model was trained with.
       batch_size: compiled batch size; inputs are padded/split to it.
+      data_parallel: shard serving over this many devices (must divide
+        batch_size). Variables are replicated and every compiled batch is
+        split along the mesh's 'data' axis, exactly like the training
+        step's GSPMD layout (parallel/mesh.py) -- multi-chip serving with
+        no change to the call surface. Default: single-device, matching
+        the reference's one-GPU test.py. The reference has no analog.
     """
 
     def __init__(self, model: str, model_path: str, num_point: int,
-                 batch_size: int = 32):
+                 batch_size: int = 32,
+                 data_parallel: Optional[int] = None):
         self.model_name = model
         self.num_point = num_point
         self.batch_size = batch_size
+        self._mesh = None
+        if data_parallel is not None and data_parallel > 1:
+            from pointnet_autoencoder_tpu.parallel import mesh as meshlib
+
+            self._mesh = meshlib.make_mesh(data_parallel=data_parallel)
+            meshlib.check_batch_divisible(batch_size, self._mesh)
+            self._batch_sharding = meshlib.batch_sharding(self._mesh)
         spec = get_model_spec(model)
         self._spec = spec
         self._model, variables = spec.init_variables(
@@ -86,6 +100,15 @@ class InferenceSession:
             )
         else:
             self._variables = self._restore_train_ckpt(model_path, variables)
+
+        if self._mesh is not None:
+            from pointnet_autoencoder_tpu.parallel import mesh as meshlib
+
+            self._variables = meshlib.replicate(self._mesh, self._variables)
+            self._put = lambda x: jax.device_put(
+                jnp.asarray(x), self._batch_sharding)
+        else:
+            self._put = jnp.asarray
 
         # Variables are a jit ARGUMENT (like the train step's state), not a
         # closure constant: constants would be folded into the executable
@@ -183,14 +206,15 @@ class InferenceSession:
         return out_dir
 
     @classmethod
-    def from_bundle(cls, bundle_dir: str,
-                    batch_size: int = 32) -> "InferenceSession":
+    def from_bundle(cls, bundle_dir: str, batch_size: int = 32,
+                    data_parallel: Optional[int] = None
+                    ) -> "InferenceSession":
         """Open a bundle written by ``export_bundle``; model name and
         num_point come from the bundle's metadata."""
         with open(os.path.join(bundle_dir, _BUNDLE_META)) as f:
             meta = json.load(f)
         return cls(meta["model"], bundle_dir, int(meta["num_point"]),
-                   batch_size=batch_size)
+                   batch_size=batch_size, data_parallel=data_parallel)
 
     # -- helpers --------------------------------------------------------------
 
@@ -224,7 +248,7 @@ class InferenceSession:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)]
                 )
-            pred, emb = self._fwd(jnp.asarray(chunk))
+            pred, emb = self._fwd(self._put(chunk))
             if fetch_pred:
                 preds.append(np.asarray(pred)[:bs - pad])
             if fetch_emb:
@@ -274,16 +298,24 @@ class InferenceSession:
                     [chunk, np.zeros((pad, emb.shape[1]), np.float32)]
                 )
             preds.append(
-                np.asarray(self._decode_fn(jnp.asarray(chunk)))[:bs - pad]
+                np.asarray(self._decode_fn(self._put(chunk)))[:bs - pad]
             )
         pred = np.concatenate(preds)
         return pred[0] if single else pred
 
     def chamfer(self, pred, target) -> np.ndarray:
         """Per-shape raw Chamfer (the reference's pcloss) between two
-        (B, N, 3) clouds."""
-        return np.asarray(self._chamfer(jnp.asarray(pred, jnp.float32),
-                                        jnp.asarray(target, jnp.float32)))
+        (B, N, 3) clouds. Under data_parallel the batch is sharded when
+        its size divides the mesh; otherwise it runs replicated."""
+        pred = np.asarray(pred, np.float32)
+        target = np.asarray(target, np.float32)
+        put = self._put
+        if self._mesh is not None:
+            from pointnet_autoencoder_tpu.parallel.mesh import DATA_AXIS
+
+            if pred.shape[0] % self._mesh.shape[DATA_AXIS] != 0:
+                put = jnp.asarray
+        return np.asarray(self._chamfer(put(pred), put(target)))
 
     def evaluate(self, dataset, num_shapes: Optional[int] = None,
                  seed: int = 0):

@@ -62,6 +62,52 @@ def test_session_embed_and_chamfer(trained):
     np.testing.assert_allclose(cd, 0.0, atol=1e-6)
 
 
+def test_session_data_parallel_matches_single_device(trained):
+    """Sharded serving (variables replicated, batches split over the
+    'data' axis) must reproduce single-device results across the whole
+    public surface — the serving-side counterpart of the DP-equivalence
+    training tests in test_parallel.py."""
+    root, ckpt = trained
+    n_dev = len(jax.devices())
+    assert n_dev == 8  # conftest forces the 8-device CPU backend
+    ref = InferenceSession("model", ckpt, NUM_POINT, batch_size=4)
+    dp = InferenceSession("model", ckpt, NUM_POINT, batch_size=8,
+                          data_parallel=n_dev)
+    ds = PartDataset(root, npoints=NUM_POINT, split="test",
+                     class_choice=["Chair"], seed=1)
+    batch = np.stack([ds[i][0] for i in range(6)])  # ragged for both
+    np.testing.assert_allclose(dp.reconstruct(batch),
+                               ref.reconstruct(batch),
+                               rtol=1e-5, atol=1e-5)
+    emb_dp, emb_ref = dp.embed(batch), ref.embed(batch)
+    np.testing.assert_allclose(emb_dp, emb_ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(dp.decode(emb_dp), ref.decode(emb_ref),
+                               rtol=1e-5, atol=1e-5)
+    # chamfer: sharded when divisible, replicated fallback when not.
+    full = np.concatenate([batch, batch[:n_dev - len(batch)]])
+    np.testing.assert_allclose(dp.chamfer(full, full),
+                               np.zeros(n_dev), atol=1e-6)
+    np.testing.assert_allclose(dp.chamfer(batch[:1], batch[:1]),
+                               np.zeros(1), atol=1e-6)
+    # evaluate(): each dataset access re-resamples points (reference
+    # semantics), so give each session its own identically-seeded dataset
+    # to make the two runs see the same clouds.
+    ds_a = PartDataset(root, npoints=NUM_POINT, split="test",
+                       class_choice=["Chair"], seed=7)
+    ds_b = PartDataset(root, npoints=NUM_POINT, split="test",
+                       class_choice=["Chair"], seed=7)
+    _, per_dp = dp.evaluate(ds_a, num_shapes=10)
+    _, per_ref = ref.evaluate(ds_b, num_shapes=10)
+    np.testing.assert_allclose(per_dp, per_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_session_data_parallel_rejects_indivisible_batch(trained):
+    root, ckpt = trained
+    with pytest.raises(ValueError, match="divisible"):
+        InferenceSession("model", ckpt, NUM_POINT, batch_size=6,
+                         data_parallel=4)
+
+
 def test_session_decode_from_latent(trained):
     """decode() must be exactly the decoder stage of the full forward:
     decode(embed(x)) == reconstruct(x), and interpolated latents decode to
