@@ -41,18 +41,67 @@ _EMD_OPS_PER_PAIR_LEVEL = 25.0
 _EMD_LEVELS = 10
 
 
-def network_matmul_flops(batch: int, num_point: int) -> float:
-    """fwd+bwd MXU flops for encoder + FC decoder (bwd ~= 2x fwd)."""
+def _fc_chain_flops(widths) -> float:
+    """fwd flops of a dense chain (2 flops per MAC)."""
+    return sum(2.0 * cin * cout for cin, cout in zip(widths[:-1], widths[1:]))
+
+
+def _deconv_flops(stages, h, w, cin) -> float:
+    """fwd flops of a VALID transposed-conv stack (nn/layers.py:UpConv).
+
+    Each input position contributes kh*kw*cin*cout MACs; the spatial dims
+    grow as (in-1)*stride + kernel per stage."""
+    flops = 0.0
+    for cout, (kh, kw), (sh, sw) in stages:
+        flops += 2.0 * h * w * kh * kw * cin * cout
+        h = (h - 1) * sh + kh
+        w = (w - 1) * sw + kw
+        cin = cout
+    return flops
+
+
+# Decoder stacks per registry config (nn/decoders.py geometry; the final
+# (3, (1,1), (1,1)) entry is each upconv stack's linear xyz head).
+_UPCONV_STAGES = (
+    (512, (2, 2), (2, 2)), (256, (3, 3), (1, 1)), (256, (4, 5), (2, 3)),
+    (128, (5, 7), (3, 3)), (3, (1, 1), (1, 1)),
+)
+_FC_UPCONV_STAGES = (
+    (512, (2, 2), (1, 1)), (256, (3, 3), (1, 1)), (256, (4, 4), (2, 2)),
+    (128, (5, 5), (3, 3)), (3, (1, 1), (1, 1)),
+)
+
+
+def _decoder_flops(config: str, num_point: int) -> float:
+    """fwd flops per shape for a config's neck + decoder
+    (models/autoencoder.py necks; nn/decoders.py stacks)."""
+    if config in ("model", "model_cpu", "model_emd"):
+        return _fc_chain_flops((1024, 1024, 1024, num_point * 3))
+    if config == "model_upconv":
+        return (_fc_chain_flops((1024, 1024))               # neck fc00
+                + _deconv_flops(_UPCONV_STAGES, 1, 2, 512))
+    if config == "model_fc_upconv":
+        return (_fc_chain_flops((1024, 512))                # neck fc00
+                + _fc_chain_flops((512, 512, 512, 1024 * 3))
+                + _deconv_flops(_FC_UPCONV_STAGES, 1, 1, 512))
+    if config == "model_hierachy":
+        per_group = num_point // 64
+        return (_fc_chain_flops((1024, 512, 512))           # necks fc00/fc01
+                + _fc_chain_flops((512, 64 * 256))          # fc1
+                + _fc_chain_flops((512, 64 * 3))            # fc1_xyz
+                + 64 * _fc_chain_flops((256, 256))          # fc_conv1
+                + 64 * _fc_chain_flops((256, per_group * 3)))  # fc_conv3
+    raise ValueError(f"no analytic budget for config {config!r}")
+
+
+def network_matmul_flops(batch: int, num_point: int,
+                         config: str = "model") -> float:
+    """fwd+bwd MXU flops for encoder + neck + decoder (bwd ~= 2x fwd)."""
     per_point = sum(
         2 * cin * cout
         for cin, cout in zip(_ENCODER_CHANNELS[:-1], _ENCODER_CHANNELS[1:])
     )
-    fc_decoder = (1024, 1024, 1024, num_point * 3)
-    fc = sum(
-        2 * cin * cout
-        for cin, cout in zip(fc_decoder[:-1], fc_decoder[1:])
-    )
-    fwd = batch * (num_point * per_point + fc)
+    fwd = batch * (num_point * per_point + _decoder_flops(config, num_point))
     return 3.0 * fwd
 
 
@@ -73,14 +122,23 @@ def step_floor_ms(config: str, batch: int, num_point: int) -> dict:
 
     Returns {"mxu_ms", "loss_vpu_ms", "floor_ms"}; pair counts follow what
     the step actually executes (model_emd runs the fused EMD kernel with
-    gradients plus a forward-only Chamfer for the pcloss metric)."""
+    gradients plus a forward-only Chamfer for the pcloss metric; the
+    hierarchy config adds the 64-center Chamfer term). model_cpu's dense
+    Chamfer is charged the kernel's VPU budget too -- its (B,N,M)
+    materialization makes the true dense floor HBM-bound, so its
+    pct_of_roofline reads optimistic-low; the Pallas configs are the ones
+    the numbers are quoted for."""
     n = m = num_point
-    mxu_ms = network_matmul_flops(batch, num_point) / MXU_BF16_FLOPS * 1e3
-    if config in ("model", "model_cpu"):
+    mxu_ms = (network_matmul_flops(batch, num_point, config)
+              / MXU_BF16_FLOPS * 1e3)
+    if config in ("model", "model_cpu", "model_upconv", "model_fc_upconv"):
         vpu = chamfer_vpu_ops(batch, n, m, backward=True)
     elif config == "model_emd":
         vpu = emd_vpu_ops(batch, n, m) + chamfer_vpu_ops(
             batch, n, m, backward=False)
+    elif config == "model_hierachy":
+        vpu = chamfer_vpu_ops(batch, n, m, backward=True) + chamfer_vpu_ops(
+            batch, 64, m, backward=True)
     else:
         raise ValueError(f"no analytic budget for config {config!r}")
     loss_vpu_ms = vpu / VPU_OPS * 1e3

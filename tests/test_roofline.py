@@ -51,7 +51,31 @@ def test_decoder_flops_track_num_point():
 
 def test_unbudgeted_config_raises():
     with pytest.raises(ValueError, match="no analytic budget"):
-        roofline.step_floor_ms("model_upconv", 32, 2048)
+        roofline.step_floor_ms("nonexistent", 32, 2048)
+
+
+def test_deconv_flops_match_hand_count():
+    """The stage-walking deconv accounting must reproduce the hand-derived
+    MAC total for the upconv stack ((1,2,512) -> ... -> 32x64x3)."""
+    assert roofline._deconv_flops(
+        roofline._UPCONV_STAGES, 1, 2, 512) == 546_308_096.0
+
+
+def test_all_registry_configs_have_floors():
+    floors = {c: roofline.step_floor_ms(c, 32, 2048)
+              for c in ("model", "model_cpu", "model_emd", "model_upconv",
+                        "model_fc_upconv", "model_hierachy")}
+    for c, f in floors.items():
+        assert f["floor_ms"] > 0, c
+    # The deconv decoders carry ~30x the FC decoder's matmul work...
+    assert floors["model_upconv"]["mxu_ms"] > floors["model"]["mxu_ms"]
+    assert floors["model_fc_upconv"]["mxu_ms"] > floors["model"]["mxu_ms"]
+    # ...and the hierarchy config pays an extra 64-center Chamfer term.
+    assert (floors["model_hierachy"]["loss_vpu_ms"]
+            > floors["model"]["loss_vpu_ms"])
+    # Chamfer-loss configs share the same loss budget.
+    assert (floors["model_upconv"]["loss_vpu_ms"]
+            == floors["model"]["loss_vpu_ms"])
 
 
 def test_report_is_json_serializable():
