@@ -94,6 +94,35 @@ def main() -> None:
     # flagged its EMD-dominated step time; keep it driver-visible).
     emd_step_s = time_step("model_emd", iters=40, windows=3)
 
+    def time_forward(iters: int, windows: int) -> float:
+        """Serving-side evidence: the jitted eval-mode forward (encoder +
+        decoder, no loss/optimizer) -- what InferenceSession compiles.
+        Device programs execute in dispatch order, so one scalar fetch
+        from the last dispatch is a barrier for the whole window."""
+        spec = get_model_spec("model")
+        model, variables = spec.init_variables(
+            jax.random.PRNGKey(0), num_point, dtype=jnp.bfloat16)
+        variables = meshlib.replicate(mesh, variables)
+
+        def fwd(variables, pts):
+            pred, _ = model.apply(variables, pts, train=False,
+                                  bn_momentum=0.0)
+            return pred
+
+        f = jax.jit(fwd)
+        out = f(variables, batches[0])
+        float(out[0, 0, 0])
+        best_dt = float("inf")
+        for _ in range(windows):
+            t0 = time.perf_counter()
+            for i in range(iters):
+                out = f(variables, batches[i % 2])
+            float(out[0, 0, 0])
+            best_dt = min(best_dt, time.perf_counter() - t0)
+        return best_dt / iters
+
+    fwd_s = time_forward(iters=200, windows=3)
+
     from pointnet_autoencoder_tpu.utils import roofline
 
     print(json.dumps({
@@ -108,6 +137,10 @@ def main() -> None:
             "model_emd_step_ms": round(1e3 * emd_step_s, 3),
             "model_emd_shapes_per_sec_per_chip": round(
                 batch_size / emd_step_s / n_chips, 2),
+            # Serving: eval-mode forward (the InferenceSession program).
+            "serving_fwd_ms": round(1e3 * fwd_s, 3),
+            "serving_shapes_per_sec_per_chip": round(
+                batch_size / fwd_s / n_chips, 2),
             # Hardware-normalized: measured vs the analytic v5e floor
             # (sum of MXU matmul time + loss-kernel VPU time; see
             # utils/roofline.py for the op accounting). The floor models
