@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Open the OpenCV viewer instead of writing PNGs")
     p.add_argument("--num_shapes", type=int, default=None,
                    help="How many test shapes to process [default: all]")
+    p.add_argument("--cache_dir", default=None,
+                   help="On-disk cache of decoded shapes (.npz); share the "
+                        "training run's cache to skip text decoding")
     p.add_argument("--seed", type=int, default=d.seed)
     return p
 
@@ -63,7 +66,7 @@ def main(argv=None) -> int:
     class_choice = [args.category] if args.category else None
     dataset = PartDataset(args.data_path, npoints=args.num_point,
                           class_choice=class_choice, split="test",
-                          seed=args.seed)
+                          seed=args.seed, cache_dir=args.cache_dir)
     print(len(dataset))
 
     session = InferenceSession(args.model, args.model_path, args.num_point,

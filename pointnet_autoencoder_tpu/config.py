@@ -44,6 +44,8 @@ class TrainConfig:
     lr_floor: Optional[float] = None     # reference's intended-but-dead clamp
     eval_only: bool = False
     log_every: int = 10           # batches between running-mean log lines
+    cache_dir: Optional[str] = None  # on-disk decoded-shape cache (npz);
+                                     # speeds up process start on real data
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)

@@ -78,12 +78,21 @@ class PartDataset:
                  classification: bool = False,
                  class_choice: Optional[Sequence[str]] = None,
                  split: str = "train", normalize: bool = True,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None,
+                 cache_dir: Optional[str] = None):
         self.root = root
         self.npoints = npoints
         self.classification = classification
         self.normalize = normalize
         self._rng = np.random.default_rng(seed)
+        # Optional on-disk cache of decoded shapes ([new], no reference
+        # analog -- the reference re-runs np.loadtxt every process start,
+        # part_dataset.py:110-113). Stores raw (un-normalized) points +
+        # 1-based labels as .npz, so one cache serves any normalize/npoints
+        # setting; entries are invalidated by source-file mtime.
+        self.cache_dir = cache_dir
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
 
         catfile = os.path.join(root, "synsetoffset2category.txt")
         if not os.path.exists(catfile):
@@ -152,16 +161,48 @@ class PartDataset:
             n = max(n, len(np.unique(seg)))
         return n
 
+    def _disk_cache_path(self, pts_path: str) -> Optional[str]:
+        if not self.cache_dir:
+            return None
+        synset = os.path.basename(os.path.dirname(os.path.dirname(pts_path)))
+        token = os.path.splitext(os.path.basename(pts_path))[0]
+        return os.path.join(self.cache_dir, f"{synset}_{token}.npz")
+
+    def _decode(self, pts_path: str, seg_path: str):
+        """Raw (points f32, 1-based seg i64), via the on-disk cache when
+        enabled. Cache writes are atomic (tmp + rename) so concurrent
+        processes sharing a cache_dir never see torn files."""
+        cpath = self._disk_cache_path(pts_path)
+        if cpath is not None:
+            try:
+                src_mtime = max(os.path.getmtime(pts_path),
+                                os.path.getmtime(seg_path))
+                if os.path.getmtime(cpath) >= src_mtime:
+                    with np.load(cpath) as z:
+                        return z["pts"], z["seg"]
+            except (OSError, KeyError, ValueError):
+                pass  # missing/stale/corrupt entry: fall through and rewrite
+        point_set = fastio.load_pts(pts_path).astype(np.float32)
+        seg = fastio.load_seg(seg_path).astype(np.int64)
+        if cpath is not None:
+            tmp = f"{cpath}.tmp-{os.getpid()}.npz"
+            try:
+                np.savez(tmp, pts=point_set, seg=seg)
+                os.replace(tmp, cpath)
+            except OSError:
+                pass  # cache dir read-only/full: caching is best-effort
+        return point_set, seg
+
     def _load(self, index: int):
         if index in self._cache:
             return self._cache[index]
         cat, pts_path, seg_path = self.datapath[index]
         cls = np.array([self.classes[cat]], dtype=np.int32)
-        point_set = fastio.load_pts(pts_path)
+        point_set, seg = self._decode(pts_path, seg_path)
         if self.normalize:
             point_set = pc_normalize(point_set)
-        seg = fastio.load_seg(seg_path) - 1  # labels on disk are 1-based
-        item = (point_set.astype(np.float32), seg.astype(np.int64), cls)
+        seg = seg - 1  # labels on disk are 1-based
+        item = (point_set.astype(np.float32), seg, cls)
         if len(self._cache) < _CACHE_SIZE:
             self._cache[index] = item
         return item

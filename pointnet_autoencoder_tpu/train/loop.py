@@ -110,10 +110,12 @@ class Trainer:
         self.train_dataset = train_dataset or PartDataset(
             config.data_path, npoints=config.num_point,
             class_choice=class_choice, split="trainval", seed=config.seed,
+            cache_dir=config.cache_dir,
         )
         self.test_dataset = test_dataset or PartDataset(
             config.data_path, npoints=config.num_point,
             class_choice=class_choice, split="test", seed=config.seed + 1,
+            cache_dir=config.cache_dir,
         )
 
         batch_sharding = meshlib.batch_sharding(self.mesh)

@@ -234,6 +234,83 @@ def test_load_seg_rejects_wrong_column_count(tmp_path):
         fastio._LIB = lib
 
 
+def test_disk_cache_round_trip(fixture_root, tmp_path):
+    """cache_dir writes .npz entries on first decode and serves identical
+    (points, seg) from them afterwards ([new] — the reference re-runs
+    np.loadtxt each process start, part_dataset.py:110-113)."""
+    cache = str(tmp_path / "cache")
+    cold = PartDataset(fixture_root, npoints=32, split="train", seed=0,
+                       cache_dir=cache)
+    ref = PartDataset(fixture_root, npoints=32, split="train", seed=0)
+    pts_a, seg_a, _ = cold._load(0)
+    entries = os.listdir(cache)
+    assert len(entries) == 1 and entries[0].endswith(".npz")
+    # A fresh dataset sharing the cache dir must hit the cache and produce
+    # byte-identical items.
+    warm = PartDataset(fixture_root, npoints=32, split="train", seed=0,
+                       cache_dir=cache)
+    pts_b, seg_b, _ = warm._load(0)
+    pts_r, seg_r, _ = ref._load(0)
+    np.testing.assert_array_equal(pts_a, pts_b)
+    np.testing.assert_array_equal(seg_a, seg_b)
+    np.testing.assert_array_equal(pts_a, pts_r)
+    np.testing.assert_array_equal(seg_a, seg_r)
+
+
+def test_disk_cache_invalidated_by_source_mtime(tmp_path):
+    """Touching the source .pts newer than its cache entry forces a
+    re-decode (entries key on mtime, not content hash). Uses a private
+    fixture because the test rewrites a source file."""
+    root = synthetic.write_fixture(str(tmp_path / "fix"),
+                                   shapes_per_category=2,
+                                   points_per_shape=16, seed=0)
+    cache = str(tmp_path / "cache")
+    ds = PartDataset(root, npoints=8, split="train", seed=0,
+                     cache_dir=cache)
+    _, pts_path, seg_path = ds.datapath[0]
+    ds._load(0)
+    cpath = ds._disk_cache_path(pts_path)
+    assert os.path.exists(cpath)
+    # Rewrite the source with different content, mtime in the future of
+    # the cache entry.
+    with open(pts_path, "w") as f:
+        f.write("9 9 9\n8 8 8\n")
+    future = os.path.getmtime(cpath) + 10
+    os.utime(pts_path, (future, future))
+    ds2 = PartDataset(root, npoints=8, split="train", seed=0,
+                      cache_dir=cache)
+    pts, _ = ds2._decode(pts_path, seg_path)
+    assert pts.shape[0] == 2 and pts[0, 0] == 9.0
+
+
+def test_disk_cache_corrupt_entry_falls_through(fixture_root, tmp_path):
+    """A torn/corrupt cache file must be silently re-decoded from source,
+    never crash the loader."""
+    cache = str(tmp_path / "cache")
+    ds = PartDataset(fixture_root, npoints=32, split="train", seed=0,
+                     cache_dir=cache)
+    _, pts_path, seg_path = ds.datapath[0]
+    pts_good, seg_good = ds._decode(pts_path, seg_path)
+    cpath = ds._disk_cache_path(pts_path)
+    with open(cpath, "wb") as f:
+        f.write(b"not an npz")
+    os.utime(cpath, None)  # keep it "fresh" so only content is bad
+    pts, seg = ds._decode(pts_path, seg_path)
+    np.testing.assert_array_equal(pts, pts_good)
+    np.testing.assert_array_equal(seg, seg_good)
+
+
+def test_cache_dir_cli_flag_reaches_config():
+    from pointnet_autoencoder_tpu.cli.train import (
+        build_parser,
+        config_from_args,
+    )
+
+    args = build_parser().parse_args(["--cache_dir", "/tmp/c"])
+    assert config_from_args(args).cache_dir == "/tmp/c"
+    assert config_from_args(build_parser().parse_args([])).cache_dir is None
+
+
 def test_pipeline_abandoned_epoch_stops_producer(fixture_root):
     """Consuming one batch and dropping the iterator must not strand the
     producer thread blocked on the bounded prefetch queue."""
