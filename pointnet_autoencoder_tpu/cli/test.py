@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    from pointnet_autoencoder_tpu.utils.backend import honor_cpu_env_request
+
+    honor_cpu_env_request()  # JAX_PLATFORMS=cpu wins over hardware plugins
     from pointnet_autoencoder_tpu.csrc.build import ensure_built
     from pointnet_autoencoder_tpu.data.shapenet_part import PartDataset
     from pointnet_autoencoder_tpu.inference import InferenceSession

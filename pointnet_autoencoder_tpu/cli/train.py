@@ -61,8 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Resume from the latest checkpoint in log_dir")
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--data_parallel", type=int, default=None,
-                   help="Number of devices for data parallelism "
-                        "[default: all]")
+                   help="Number of devices on the data axis "
+                        "[default: all remaining]")
+    p.add_argument("--model_parallel", type=int, default=d.model_parallel,
+                   help="Tensor-parallel degree over the decoder FC stacks "
+                        "[default: 1 = off]; mesh is data x model")
     p.add_argument("--bf16", action=argparse.BooleanOptionalAction,
                    default=d.bf16,
                    help="bfloat16 matmuls in the network (default on; "
@@ -93,7 +96,8 @@ def config_from_args(args) -> TrainConfig:
         decay_step=args.decay_step, decay_rate=args.decay_rate,
         no_rotation=args.no_rotation, data_path=args.data_path,
         input_mode=args.input_mode, resume=args.resume, seed=args.seed,
-        data_parallel=args.data_parallel, bf16=args.bf16,
+        data_parallel=args.data_parallel,
+        model_parallel=args.model_parallel, bf16=args.bf16,
         profile_dir=args.profile_dir, lr_floor=args.lr_floor,
         log_every=args.log_every, eval_only=args.eval_only,
         cache_dir=args.cache_dir,
@@ -105,6 +109,9 @@ def main(argv=None) -> int:
     config = config_from_args(args)
 
     # Import jax lazily so --help works without initializing a backend.
+    from pointnet_autoencoder_tpu.utils.backend import honor_cpu_env_request
+
+    honor_cpu_env_request()  # JAX_PLATFORMS=cpu wins over hardware plugins
     from pointnet_autoencoder_tpu.csrc.build import ensure_built
     from pointnet_autoencoder_tpu.train.logging import Logger
     from pointnet_autoencoder_tpu.train.loop import Trainer

@@ -35,7 +35,10 @@ class TrainConfig:
                                   # "host": reference-style host assembly
     resume: bool = False          # continue from log_dir/model.ckpt
     seed: int = 0                 # host-side data/init seed
-    data_parallel: Optional[int] = None  # devices to use; None = all
+    data_parallel: Optional[int] = None  # devices on the data axis;
+                                         # None = all remaining
+    model_parallel: int = 1       # tensor-parallel degree over the decoder
+                                  # FC stacks (parallel/tp.py); 1 = off
     bf16: bool = True             # bfloat16 matmuls in the network (36%
                                   # faster; converges identically to f32 --
                                   # see docs/ARCHITECTURE.md; --no-bf16

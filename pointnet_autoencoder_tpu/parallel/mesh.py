@@ -9,9 +9,10 @@ global-batch reductions) as ICI collectives automatically -- no hand-written
 communication, and BN statistics keep the reference's global-batch
 semantics at any device count.
 
-The mesh is built with a (data, model) axis pair so a tensor-parallel axis
-can be added later without changing call sites; 'model' stays size 1 for
-this workload (largest matmul is 1024x6144 -- nothing to shard).
+The mesh is a (data, model) axis pair. 'model' defaults to size 1 (this
+workload's ~17 MB of parameters fit everywhere); ``model_parallel`` > 1
+turns on tensor parallelism over the decoder FC stacks -- see
+parallel/tp.py for the sharding rules.
 """
 
 from __future__ import annotations
@@ -27,19 +28,32 @@ MODEL_AXIS = "model"
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
-              data_parallel: Optional[int] = None) -> Mesh:
-    """1-D data-parallel mesh (model axis kept at size 1 for future TP)."""
+              data_parallel: Optional[int] = None,
+              model_parallel: int = 1) -> Mesh:
+    """(data, model) mesh. model_parallel > 1 enables tensor parallelism
+    over the decoder FC stacks (parallel/tp.py); data_parallel defaults to
+    all remaining devices. Device order puts the model axis innermost, so
+    TP collectives ride adjacent-device ICI links on real slices."""
     if devices is None:
         devices = jax.devices()
+    if model_parallel < 1:
+        raise ValueError(f"model_parallel={model_parallel} must be >= 1")
     if data_parallel is None:
-        data_parallel = len(devices)
-    if data_parallel > len(devices):
+        data_parallel = len(devices) // model_parallel
+        if data_parallel == 0:
+            raise ValueError(
+                f"model_parallel={model_parallel} requested but only "
+                f"{len(devices)} device(s) are available"
+            )
+    needed = data_parallel * model_parallel
+    if needed > len(devices):
         raise ValueError(
-            f"data_parallel={data_parallel} requested but only "
-            f"{len(devices)} device(s) are available "
-            f"({[str(d) for d in devices]})"
+            f"data_parallel={data_parallel} x model_parallel="
+            f"{model_parallel} needs {needed} devices but only "
+            f"{len(devices)} are available ({[str(d) for d in devices]})"
         )
-    devices = np.asarray(devices[:data_parallel]).reshape(data_parallel, 1)
+    devices = np.asarray(devices[:needed]).reshape(data_parallel,
+                                                   model_parallel)
     return Mesh(devices, (DATA_AXIS, MODEL_AXIS))
 
 

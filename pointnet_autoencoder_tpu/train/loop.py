@@ -7,9 +7,11 @@ The TPU-native redesign of the reference's session-driven loop
   BN moving-stat update, compiled once by XLA. Schedules (LR staircase,
   bn_decay) are jnp functions of the step *inside* the jit, replacing the
   reference's schedule tensors.
-- Data parallelism by construction: the state is replicated and batches are
-  sharded over the mesh's 'data' axis before the call; GSPMD inserts the
-  gradient all-reduce and the BatchNorm global-batch reductions over ICI.
+- Parallelism by construction: batches are sharded over the mesh's 'data'
+  axis and state leaves carry their parallel/tp.py shardings (replicated,
+  or decoder FC weights column/row-sharded over 'model' when
+  model_parallel > 1); GSPMD inserts the gradient all-reduce, the
+  BatchNorm global-batch reductions, and the TP collectives over ICI.
   Single device is just the degenerate 1-device mesh.
 - Epoch structure, logging cadence (running means every 10 batches,
   train.py:208-214), eval policy and checkpoint policy (best + every 10
@@ -36,6 +38,7 @@ from pointnet_autoencoder_tpu.data.shapenet_part import PartDataset
 from pointnet_autoencoder_tpu.models.autoencoder import ModelSpec
 from pointnet_autoencoder_tpu.models.registry import get_model_spec
 from pointnet_autoencoder_tpu.parallel import mesh as meshlib
+from pointnet_autoencoder_tpu.parallel import tp
 from pointnet_autoencoder_tpu.train import schedules
 from pointnet_autoencoder_tpu.train.checkpoint import CheckpointManager
 from pointnet_autoencoder_tpu.train.logging import Logger, snapshot_config
@@ -43,10 +46,22 @@ from pointnet_autoencoder_tpu.train.state import TrainState, make_optimizer
 
 
 def make_step_fns(model, spec: ModelSpec, tx, bn_schedule: Callable,
-                  lr_schedule: Callable):
+                  lr_schedule: Callable, pred_sharding=None):
     """Builds (train_step, eval_step). Pure functions of (state, batch);
     the autoencoder's label is the (augmented) input batch itself
-    (train.py:202-204)."""
+    (train.py:202-204).
+
+    ``pred_sharding``: optional NamedSharding the decoder output is
+    constrained to before the loss. Under tensor parallelism the decoder
+    leaves ``pred`` sharded along the point axis of the 'model' mesh axis;
+    the loss kernels run batch-sharded, so the Trainer passes the batch
+    sharding here and GSPMD places the TP all-gather exactly at this seam.
+    """
+
+    def constrain(pred):
+        if pred_sharding is not None:
+            pred = jax.lax.with_sharding_constraint(pred, pred_sharding)
+        return pred
 
     def train_step(state: TrainState, batch: jax.Array
                    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
@@ -58,7 +73,7 @@ def make_step_fns(model, spec: ModelSpec, tx, bn_schedule: Callable,
                 batch, train=True, bn_momentum=bn_momentum,
                 mutable=["batch_stats"],
             )
-            loss, metrics = spec.loss_fn(pred, batch, end_points)
+            loss, metrics = spec.loss_fn(constrain(pred), batch, end_points)
             return loss, (metrics, mutated["batch_stats"])
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -82,7 +97,7 @@ def make_step_fns(model, spec: ModelSpec, tx, bn_schedule: Callable,
             {"params": state.params, "batch_stats": state.batch_stats},
             batch, train=False, bn_momentum=0.0,
         )
-        loss, metrics = spec.loss_fn(pred, batch, end_points)
+        loss, metrics = spec.loss_fn(constrain(pred), batch, end_points)
         metrics = dict(metrics)
         metrics["loss"] = loss
         return metrics
@@ -103,7 +118,8 @@ class Trainer:
         self.logger = logger or Logger(config.log_dir)
         snapshot_config(config.log_dir, config)
 
-        self.mesh = meshlib.make_mesh(data_parallel=config.data_parallel)
+        self.mesh = meshlib.make_mesh(data_parallel=config.data_parallel,
+                                      model_parallel=config.model_parallel)
         meshlib.check_batch_divisible(config.batch_size, self.mesh)
 
         class_choice = [config.category] if config.category else None
@@ -160,12 +176,19 @@ class Trainer:
         bn = schedules.bn_momentum_schedule(config.batch_size,
                                             config.decay_step)
         self.tx = make_optimizer(config.optimizer, lr, config.momentum)
-        self.state = meshlib.replicate(
+        # tp.shard_state places decoder FC weights over the 'model' axis
+        # (identical to plain replication when model_parallel == 1).
+        self.state = tp.shard_state(
             self.mesh, TrainState.create(variables, self.tx)
         )
 
         train_step, eval_step = make_step_fns(
-            self.model, self.spec, self.tx, bn, lr
+            self.model, self.spec, self.tx, bn, lr,
+            # Under TP the decoder output is point-sharded over 'model';
+            # gather it to the loss kernels' batch sharding at the seam.
+            pred_sharding=(batch_sharding
+                           if self.mesh.shape[meshlib.MODEL_AXIS] > 1
+                           else None),
         )
         if self.input_mode == "device":
             num_point = config.num_point
@@ -213,7 +236,7 @@ class Trainer:
                             "starting fresh")
             return
         restored = self.ckpt.restore(path, self._ckpt_tree())
-        self.state = meshlib.replicate(self.mesh, restored["state"])
+        self.state = tp.shard_state(self.mesh, restored["state"])
         self.start_epoch = int(restored["epoch"])
         self.best_loss = float(restored["best_loss"])
         self.logger.log(

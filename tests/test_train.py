@@ -142,6 +142,35 @@ def test_trainer_end_to_end(fixture_root, tmp_path):
     assert np.isfinite(trainer2.best_loss)
 
 
+def test_trainer_model_parallel(fixture_root, tmp_path):
+    """End-to-end Trainer on a 4dp x 2tp mesh: decoder weights sharded,
+    one epoch trains to a finite loss, resume re-places the restored state
+    with the same shardings."""
+    from jax.sharding import PartitionSpec as P
+
+    from pointnet_autoencoder_tpu.train.loop import Trainer
+
+    log_dir = str(tmp_path / "log")
+    cfg = TrainConfig(
+        model="model", category="Chair", log_dir=log_dir, num_point=64,
+        max_epoch=1, batch_size=8, data_path=fixture_root, seed=0,
+        log_every=1, model_parallel=2,
+    )
+    trainer = Trainer(cfg)
+    assert trainer.mesh.shape == {"data": 4, "model": 2}
+    kernel = trainer.state.params["decoder"]["fc1"]["dense"]["kernel"]
+    assert kernel.sharding.spec == P(None, "model")
+    best = trainer.train()
+    assert np.isfinite(best)
+
+    cfg2 = TrainConfig(**{**cfg.__dict__, "max_epoch": 2, "resume": True})
+    trainer2 = Trainer(cfg2)
+    assert trainer2.start_epoch >= 1
+    kernel2 = trainer2.state.params["decoder"]["fc1"]["dense"]["kernel"]
+    assert kernel2.sharding.spec == P(None, "model")
+    trainer2.close()
+
+
 def test_trainer_host_input_mode(fixture_root, tmp_path):
     """The reference-style host assembly path end-to-end."""
     cfg = TrainConfig(
