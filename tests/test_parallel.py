@@ -312,6 +312,81 @@ def test_pallas_emd_under_sharded_jit():
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+# ---------------------------------------------------------------------------
+# Point (sequence) parallelism: Chamfer sharded along N (parallel/sp.py)
+# ---------------------------------------------------------------------------
+
+
+def test_point_sharded_nn_distance_matches_unsharded():
+    from pointnet_autoencoder_tpu.ops.chamfer import nn_distance
+    from pointnet_autoencoder_tpu.parallel import sp
+
+    mesh = meshlib.make_mesh()
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.random.normal(k1, (2, 128, 3))
+    y = jax.random.normal(k2, (2, 96, 3))  # N != M on purpose
+
+    got = jax.jit(lambda a, b: sp.nn_distance_point_sharded(a, b, mesh))(x, y)
+    want = nn_distance(x, y, impl="xla")
+    # Indices exact (incl. arbitration); distances to 1 ulp (XLA fuses the
+    # shard-shaped sweep differently -- same deviation the unsharded kernel
+    # shows vs the numpy oracle).
+    np.testing.assert_array_equal(np.asarray(jax.device_get(got[1])),
+                                  np.asarray(jax.device_get(want[1])))
+    np.testing.assert_array_equal(np.asarray(jax.device_get(got[3])),
+                                  np.asarray(jax.device_get(want[3])))
+    np.testing.assert_allclose(jax.device_get(got[0]), jax.device_get(want[0]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(jax.device_get(got[2]), jax.device_get(want[2]),
+                               rtol=1e-6)
+    # dist1 really is sharded along N; dist2 replicated.
+    assert got[0].addressable_shards[0].data.shape == (2, 16)
+    assert got[2].addressable_shards[0].data.shape == (2, 96)
+
+    with pytest.raises(ValueError, match="must divide"):
+        sp.nn_distance_point_sharded(x[:, :126], y, mesh)
+
+
+def test_point_sharded_chamfer_grads_match_unsharded():
+    """The direction-2 combine routes cotangents through the stop-grad
+    mask + psum; gradients wrt both clouds must match the unsharded op."""
+    from pointnet_autoencoder_tpu.ops.chamfer import chamfer_loss
+    from pointnet_autoencoder_tpu.parallel import sp
+
+    mesh = meshlib.make_mesh()
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    x = jax.random.normal(k1, (2, 128, 3))
+    y = jax.random.normal(k2, (2, 96, 3))
+
+    got = jax.jit(jax.grad(
+        lambda a, b: sp.chamfer_loss_point_sharded(a, b, mesh),
+        argnums=(0, 1)))(x, y)
+    want = jax.grad(lambda a, b: chamfer_loss(a, b, impl="xla"),
+                    argnums=(0, 1))(x, y)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(jax.device_get(g), jax.device_get(w),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_point_sharded_tie_break_across_shards():
+    """A point duplicated into a different shard must still resolve
+    direction-2 matches to the lowest global index (first-min)."""
+    from pointnet_autoencoder_tpu.ops.chamfer import nn_distance
+    from pointnet_autoencoder_tpu.parallel import sp
+
+    mesh = meshlib.make_mesh()
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    x = jax.random.normal(k1, (2, 128, 3))
+    y = jax.random.normal(k2, (2, 96, 3))
+    x = x.at[:, 100].set(x[:, 3])  # same point in shard 0 and shard 6
+
+    got_i2 = jax.device_get(jax.jit(
+        lambda a, b: sp.nn_distance_point_sharded(a, b, mesh))(x, y)[3])
+    want_i2 = jax.device_get(nn_distance(x, y, impl="xla")[3])
+    np.testing.assert_array_equal(np.asarray(got_i2), np.asarray(want_i2))
+    assert not (np.asarray(got_i2) == 100).any()  # 3 wins every tie
+
+
 def test_graft_entry_compiles():
     fn, args = __graft_entry__.entry()
     lowered = jax.jit(fn).lower(*args)
