@@ -68,19 +68,26 @@ class InferenceSession:
         step's GSPMD layout (parallel/mesh.py) -- multi-chip serving with
         no change to the call surface. Default: single-device, matching
         the reference's one-GPU test.py. The reference has no analog.
+      model_parallel: tensor-parallel degree over the decoder FC stacks
+        (parallel/tp.py), composable with data_parallel; the restored
+        decoder weights are placed column/row-sharded over the mesh's
+        'model' axis and GSPMD inserts the serving-time collectives.
     """
 
     def __init__(self, model: str, model_path: str, num_point: int,
                  batch_size: int = 32,
-                 data_parallel: Optional[int] = None):
+                 data_parallel: Optional[int] = None,
+                 model_parallel: int = 1):
         self.model_name = model
         self.num_point = num_point
         self.batch_size = batch_size
         self._mesh = None
-        if data_parallel is not None and data_parallel > 1:
+        if (data_parallel is not None and data_parallel > 1) \
+                or model_parallel > 1:
             from pointnet_autoencoder_tpu.parallel import mesh as meshlib
 
-            self._mesh = meshlib.make_mesh(data_parallel=data_parallel)
+            self._mesh = meshlib.make_mesh(data_parallel=data_parallel,
+                                           model_parallel=model_parallel)
             meshlib.check_batch_divisible(batch_size, self._mesh)
             self._batch_sharding = meshlib.batch_sharding(self._mesh)
         spec = get_model_spec(model)
@@ -102,9 +109,11 @@ class InferenceSession:
             self._variables = self._restore_train_ckpt(model_path, variables)
 
         if self._mesh is not None:
-            from pointnet_autoencoder_tpu.parallel import mesh as meshlib
+            from pointnet_autoencoder_tpu.parallel import tp
 
-            self._variables = meshlib.replicate(self._mesh, self._variables)
+            # Replication when the model axis is size 1; decoder FC
+            # weights column/row-sharded over 'model' otherwise.
+            self._variables = tp.shard_state(self._mesh, self._variables)
             self._put = lambda x: jax.device_put(
                 jnp.asarray(x), self._batch_sharding)
         else:

@@ -101,6 +101,28 @@ def test_session_data_parallel_matches_single_device(trained):
     np.testing.assert_allclose(per_dp, per_ref, rtol=1e-5, atol=1e-5)
 
 
+def test_session_model_parallel_matches_single_device(trained):
+    """DP x TP serving: restored decoder FC weights sharded column/row
+    over 'model' must reproduce single-device reconstruction/decoding."""
+    from jax.sharding import PartitionSpec as P
+
+    root, ckpt = trained
+    ref = InferenceSession("model", ckpt, NUM_POINT, batch_size=4)
+    tp = InferenceSession("model", ckpt, NUM_POINT, batch_size=8,
+                          data_parallel=4, model_parallel=2)
+    k = tp._variables["params"]["decoder"]["fc1"]["dense"]["kernel"]
+    assert k.sharding.spec == P(None, "model")
+    ds = PartDataset(root, npoints=NUM_POINT, split="test",
+                     class_choice=["Chair"], seed=1)
+    batch = np.stack([ds[i][0] for i in range(6)])
+    np.testing.assert_allclose(tp.reconstruct(batch),
+                               ref.reconstruct(batch),
+                               rtol=1e-5, atol=1e-5)
+    emb = ref.embed(batch)
+    np.testing.assert_allclose(tp.decode(emb), ref.decode(emb),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_session_data_parallel_rejects_indivisible_batch(trained):
     root, ckpt = trained
     with pytest.raises(ValueError, match="divisible"):
