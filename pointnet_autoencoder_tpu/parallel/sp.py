@@ -1,6 +1,11 @@
-"""Point (sequence) parallelism: Chamfer over clouds sharded along N.
+"""Point (sequence) parallelism: losses over clouds sharded along N.
 
-The single-chip long-N strategy (docs/ARCHITECTURE.md: tiled Pallas
+Covers both loss families: Chamfer (``nn_distance_point_sharded`` /
+``chamfer_loss_point_sharded``) and the annealed approximate EMD
+(``emd_cost_point_sharded`` / ``emd_loss_point_sharded`` — see the EMD
+section below for its psum-per-level decomposition).
+
+Chamfer: the single-chip long-N strategy (docs/ARCHITECTURE.md: tiled Pallas
 Chamfer at any N, dense past N=8192) tops out at what one chip can sweep;
 this module scales the Chamfer *loss itself* across the mesh by sharding
 the first cloud's point axis -- the TPU-native analog of a multi-GPU
@@ -120,3 +125,158 @@ def chamfer_loss_point_sharded(xyz1: jax.Array, xyz2: jax.Array, mesh: Mesh,
     d1, _, d2, _ = nn_distance_point_sharded(xyz1, xyz2, mesh, axis=axis,
                                              impl=impl)
     return jnp.mean(d1) + jnp.mean(d2)
+
+
+# ---------------------------------------------------------------------------
+# Point-sharded approximate EMD
+# ---------------------------------------------------------------------------
+#
+# The annealed matching (ops/emd.py module docstring; reference GPU kernel
+# tf_approxmatch_g.cu:21-175) decomposes exactly along xyz1's point axis:
+# with the rows (xyz1 points) sharded and xyz2 replicated,
+#
+#   * sweep 1 (row normalizers)   -- local: each row's sum over M is on-shard;
+#   * sweep 2 (column saturation) -- one psum of the per-shard (B, M) column
+#     sums per annealing level; after it, the remainR/ratioR trajectory is
+#     computed identically (replicated) on every device;
+#   * sweep 3 (mass accumulation) -- local rows; the cost and the xyz2
+#     gradient are linear accumulations, so their psums defer to one each
+#     after the 10-level scan.
+#
+# Total communication: 10 x psum((B, M) f32) + 2 trailing psums -- a few MB
+# over ICI, vs the O(B*N*M) pairwise work that stays shard-local. The
+# decomposition is exact up to f32 summation order (the psum adds per-shard
+# partials where the dense op adds over rows in index order).
+#
+# The per-shard body is the dense formulation, not the fused Pallas kernel:
+# the kernel holds its d2 cache and remain state in VMEM *across* all 10
+# levels, and the per-level psum is a synchronization point no single
+# pallas_call can span. Each shard instead materializes its (B, N/k, M) d2
+# slice once in HBM -- k devices extend the dense path's single-chip memory
+# ceiling k-fold, which is the point: this is the mesh-scale EMD for clouds
+# past the fused kernel's N=8192 single-chip envelope. At the training
+# shape, keep the fused kernel (parallel/README in docs/ARCHITECTURE.md).
+
+
+def _emd_shard_body(x1, x2, *, axis: str, n_global: int):
+    """Per-device body: x1 is the local (B, N/k, 3) row slice, x2 replicated.
+
+    Returns (cost (B,), grad1 (B, N/k, 3), grad2 (B, M, 3)): the fused
+    plan-free contract of ops/emd.py:_emd_forward, with grads taken at a
+    held-fixed transport plan (the reference's MatchCostGrad semantics).
+    """
+    from pointnet_autoencoder_tpu.ops import emd as emdlib
+    from pointnet_autoencoder_tpu.ops.chamfer import sqdist_matrix
+
+    b, n_loc, _ = x1.shape
+    m = x2.shape[1]
+    multi_l, multi_r = emdlib._capacities(n_global, m)
+    f32 = jnp.float32
+    x2 = jax.lax.pvary(x2, axis)
+
+    d2 = sqdist_matrix(x1, x2)  # (B, n_loc, M), shard-local
+    d = jnp.sqrt(d2)
+    rinv = jax.lax.rsqrt(jnp.maximum(d2, 1e-20))
+    levels = jnp.asarray(emdlib._LEVELS, f32)
+
+    def round_fn(carry, level):
+        remain_l, remain_r, cost, grad1, grad2 = carry
+        k_mat = jnp.exp(level * d2)
+        # Sweep 1: row normalizers (rows are local).
+        suml = 1e-9 + jnp.einsum("bnm,bm->bn", k_mat, remain_r)
+        ratio_l = remain_l / suml
+        # Sweep 2: global column sums via psum; the saturation update is
+        # then replicated arithmetic on every device.
+        sumr = jax.lax.psum(
+            jnp.einsum("bnm,bn->bm", k_mat, ratio_l), axis) * remain_r
+        consumption = jnp.minimum(remain_r / (sumr + 1e-9), 1.0)
+        ratio_r = consumption * remain_r
+        remain_r = jnp.maximum(0.0, remain_r - sumr)
+        # Sweep 3: local mass, local cost/grad contributions.
+        w = k_mat * ratio_l[:, :, None] * ratio_r[:, None, :]
+        remain_l = jnp.maximum(0.0, remain_l - jnp.sum(w, axis=2))
+        cost = cost + jnp.einsum("bnm,bnm->b", w, d)
+        wr = w * rinv
+        for c in range(3):
+            diff = x1[:, :, None, c] - x2[:, None, :, c]
+            wd = wr * diff
+            grad1 = grad1.at[:, :, c].add(jnp.sum(wd, axis=2))
+            grad2 = grad2.at[:, :, c].add(-jnp.sum(wd, axis=1))
+        return (remain_l, remain_r, cost, grad1, grad2), None
+
+    # remain_r stays device-invariant (psum output + replicated arithmetic);
+    # everything shard-local starts pvaried to keep the scan carry's
+    # varying-axes type fixed across iterations.
+    init = (
+        jax.lax.pvary(jnp.full((b, n_loc), multi_l, f32), axis),
+        jnp.full((b, m), multi_r, f32),
+        jax.lax.pvary(jnp.zeros((b,), f32), axis),
+        jax.lax.pvary(jnp.zeros((b, n_loc, 3), f32), axis),
+        jax.lax.pvary(jnp.zeros((b, m, 3), f32), axis),
+    )
+    (_, _, cost, grad1, grad2), _ = jax.lax.scan(round_fn, init, levels)
+    # Cost and the xyz2 gradient are sums over all rows: one trailing psum
+    # each; grad1 stays sharded alongside its rows.
+    return jax.lax.psum(cost, axis), grad1, jax.lax.psum(grad2, axis)
+
+
+def _emd_forward_point_sharded(xyz1, xyz2, mesh: Mesh, axis: str):
+    k = mesh.shape[axis]
+    n = xyz1.shape[1]
+    if n % k != 0:
+        raise ValueError(
+            f"point axis N={n} must divide by mesh axis {axis!r} size {k}"
+        )
+    fn = jax.shard_map(
+        partial(_emd_shard_body, axis=axis, n_global=n),
+        mesh=mesh,
+        in_specs=(P(None, axis, None), P()),
+        out_specs=(P(), P(None, axis), P()),
+    )
+    xyz1 = jax.lax.with_sharding_constraint(
+        xyz1.astype(jnp.float32), NamedSharding(mesh, P(None, axis, None)))
+    xyz2 = jax.lax.with_sharding_constraint(
+        xyz2.astype(jnp.float32), NamedSharding(mesh, P()))
+    return fn(xyz1, xyz2)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _emd_cost_point_sharded(xyz1, xyz2, mesh, axis):
+    cost, _, _ = _emd_forward_point_sharded(xyz1, xyz2, mesh, axis)
+    return cost
+
+
+def _emd_cost_ps_fwd(xyz1, xyz2, mesh, axis):
+    cost, g1, g2 = _emd_forward_point_sharded(xyz1, xyz2, mesh, axis)
+    return cost, (g1, g2)
+
+
+def _emd_cost_ps_bwd(mesh, axis, res, g):
+    del mesh, axis
+    g1, g2 = res
+    return g[:, None, None] * g1, g[:, None, None] * g2
+
+
+_emd_cost_point_sharded.defvjp(_emd_cost_ps_fwd, _emd_cost_ps_bwd)
+
+
+def emd_cost_point_sharded(xyz1: jax.Array, xyz2: jax.Array, mesh: Mesh,
+                           axis: str = DATA_AXIS) -> jax.Array:
+    """Approx-EMD cost (B,) with xyz1's point axis sharded over ``mesh[axis]``.
+
+    Numerically equivalent to ``ops.emd.emd_cost`` (same annealing schedule,
+    same plan-constant gradients) up to f32 summation order in the per-level
+    column psum; differentiable in both clouds. N must divide by the mesh
+    axis size. The cost comes back replicated; under ``jax.grad`` the xyz1
+    cotangent is sharded along N and the xyz2 cotangent replicated.
+    """
+    return _emd_cost_point_sharded(
+        xyz1.astype(jnp.float32), xyz2.astype(jnp.float32), mesh, axis)
+
+
+def emd_loss_point_sharded(pred: jax.Array, label: jax.Array, mesh: Mesh,
+                           axis: str = DATA_AXIS) -> jax.Array:
+    """mean over batch of approx-EMD(label -> pred) — the reference's EMD
+    training loss contract (models/model_emd.py:86-88) with the label
+    cloud's points sharded over the mesh."""
+    return jnp.mean(emd_cost_point_sharded(label, pred, mesh, axis=axis))

@@ -387,6 +387,56 @@ def test_point_sharded_tie_break_across_shards():
     assert not (np.asarray(got_i2) == 100).any()  # 3 wins every tie
 
 
+def test_point_sharded_emd_cost_matches_unsharded():
+    """The per-level column psum decomposition must reproduce the dense
+    annealed matching (and the numpy oracle) up to f32 summation order."""
+    from pointnet_autoencoder_tpu.ops import emd, oracles
+    from pointnet_autoencoder_tpu.parallel import sp
+
+    mesh = meshlib.make_mesh()
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    x = jax.random.normal(k1, (2, 128, 3))
+    y = jax.random.normal(k2, (2, 96, 3))  # N != M: capacity factors live
+
+    got = jax.jit(lambda a, b: sp.emd_cost_point_sharded(a, b, mesh))(x, y)
+    want = emd.emd_cost(x, y, impl="xla")
+    np.testing.assert_allclose(jax.device_get(got), jax.device_get(want),
+                               rtol=1e-5)
+    # Oracle parity, not just self-consistency between two jitted programs.
+    xn, yn = np.asarray(jax.device_get(x)), np.asarray(jax.device_get(y))
+    oracle = oracles.match_cost_np(xn, yn, oracles.approx_match_np(xn, yn))
+    np.testing.assert_allclose(jax.device_get(got), oracle, rtol=1e-4)
+
+    with pytest.raises(ValueError, match="must divide"):
+        sp.emd_cost_point_sharded(x[:, :126], y, mesh)
+
+
+def test_point_sharded_emd_grads_match_unsharded():
+    """Plan-constant gradients: the sharded rows' contributions plus the
+    trailing grad2 psum must match the unsharded fused path for both
+    clouds (and both argument positions of the loss)."""
+    from pointnet_autoencoder_tpu.ops import emd
+    from pointnet_autoencoder_tpu.parallel import sp
+
+    mesh = meshlib.make_mesh()
+    k1, k2 = jax.random.split(jax.random.PRNGKey(4))
+    x = jax.random.normal(k1, (2, 128, 3))
+    y = jax.random.normal(k2, (2, 96, 3))
+
+    got = jax.jit(jax.grad(
+        lambda a, b: sp.emd_loss_point_sharded(b, a, mesh),
+        argnums=(0, 1)))(x, y)
+    want = jax.grad(lambda a, b: emd.emd_loss(b, a, impl="xla"),
+                    argnums=(0, 1))(x, y)
+    # The psum's shard-partial summation order differs from the dense row
+    # order; 10 annealing levels of feedback amplify the ulps to ~1e-5 abs
+    # (same order as the Pallas kernel's accepted deviation vs dense,
+    # tests/test_emd.py tolerances).
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(jax.device_get(g), jax.device_get(w),
+                                   rtol=1e-4, atol=2e-5)
+
+
 def test_graft_entry_compiles():
     fn, args = __graft_entry__.entry()
     lowered = jax.jit(fn).lower(*args)
