@@ -123,6 +123,37 @@ def test_session_model_parallel_matches_single_device(trained):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_pipelined_session_matches_unpipelined(trained):
+    """2-stage serving pipeline (encoder|neck on device 0, decoder on
+    device 1, microbatched) must reproduce the unpipelined forward — the
+    eval-mode split is exact because BN uses moving statistics."""
+    from pointnet_autoencoder_tpu.parallel.pp import PipelinedSession
+
+    root, ckpt = trained
+    ref = InferenceSession("model", ckpt, NUM_POINT, batch_size=4)
+    pp = PipelinedSession(ref, num_microbatches=2)
+    # The stages really live on different devices.
+    d0 = jax.tree_util.tree_leaves(pp._enc_vars)[0].devices()
+    d1 = jax.tree_util.tree_leaves(pp._dec_vars)[0].devices()
+    assert d0 != d1
+
+    ds = PartDataset(root, npoints=NUM_POINT, split="test",
+                     class_choice=["Chair"], seed=1)
+    batch = np.stack([ds[i][0] for i in range(5)])  # ragged vs microbatch
+    np.testing.assert_allclose(pp.reconstruct(batch),
+                               ref.reconstruct(batch),
+                               rtol=1e-5, atol=1e-6)
+    # Single-cloud surface too.
+    np.testing.assert_allclose(pp.reconstruct(batch[0]),
+                               ref.reconstruct(batch[0]),
+                               rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError, match="divide"):
+        PipelinedSession(ref, num_microbatches=3)
+    with pytest.raises(ValueError, match="2 stage devices"):
+        PipelinedSession(ref, devices=jax.devices()[:3])
+
+
 def test_session_data_parallel_rejects_indivisible_batch(trained):
     root, ckpt = trained
     with pytest.raises(ValueError, match="divisible"):
