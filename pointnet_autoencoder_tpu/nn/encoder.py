@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from pointnet_autoencoder_tpu.nn.layers import PointMLP, glorot
-from pointnet_autoencoder_tpu.ops import fused_head
+from pointnet_autoencoder_tpu.ops import fused_encoder, fused_head
 
 
 class _DenseParams(nn.Module):
@@ -54,6 +54,23 @@ class _BNState(nn.Module):
             ra_mean.value = m * ra_mean.value + (1.0 - m) * batch_mean
             ra_var.value = m * ra_var.value + (1.0 - m) * batch_var
         return moving, beta, gamma
+
+
+class _PointMLPParams(nn.Module):
+    """Declares one Dense+BN layer's variables under the exact tree a
+    ``PointMLP(name=...)`` (or ``FusedPointMLPMax``) would create -- children
+    ``dense`` ({kernel, bias}) and ``bn`` ({beta, gamma} + batch_stats
+    {mean, var}) -- and returns them raw instead of applying the layer.
+    Lets the whole-encoder eval fusion consume the same checkpoint tree the
+    layer-by-layer path trains."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel, bias = _DenseParams(self.features, name="dense")(in_features)
+        (mean, var), beta, gamma = _BNState(name="bn")(self.features)
+        return kernel, bias, gamma, beta, mean, var
 
 
 class FusedPointMLPMax(nn.Module):
@@ -114,15 +131,39 @@ class FusedPointMLPMax(nn.Module):
 
 
 class PointNetEncoder(nn.Module):
-    """(B, N, 3) points -> (B, 1024) global feature."""
+    """(B, N, 3) points -> (B, 1024) global feature.
+
+    Training: layer-by-layer (each BN takes global batch statistics), with
+    the conv5+BN+ReLU+max head fused (FusedPointMLPMax). Eval/serving with
+    the Pallas impl: the ENTIRE chain runs as one kernel
+    (ops/fused_encoder.py) -- eval BN is a constant affine, so no
+    per-layer statistics barrier exists and no activation touches HBM.
+    Both paths read/write the identical variable tree.
+    """
 
     dtype: jnp.dtype = jnp.float32
     head_impl: Optional[str] = None  # None = auto (pallas on TPU)
 
+    _WIDTHS = (64, 64, 64, 128)
+
     @nn.compact
     def __call__(self, points, train: bool, bn_momentum) -> jnp.ndarray:
+        impl = self.head_impl or fused_head._auto_impl()
+        widths = self._WIDTHS + (1024,)
+        if (not train and impl == "pallas"
+                and fused_encoder.supports_pallas(points.shape[1], widths)):
+            layers = []
+            c = points.shape[-1]
+            for i, feats in enumerate(widths):
+                layers.append(
+                    _PointMLPParams(feats, name=f"conv{i + 1}")(c))
+                c = feats
+            out = fused_encoder.fused_encoder_eval(
+                points, layers, dtype=self.dtype)
+            return out.astype(self.dtype)
+
         x = points
-        for i, feats in enumerate((64, 64, 64, 128)):
+        for i, feats in enumerate(self._WIDTHS):
             x = PointMLP(feats, dtype=self.dtype, name=f"conv{i + 1}")(
                 x, train, bn_momentum
             )
