@@ -73,6 +73,49 @@ class _PointMLPParams(nn.Module):
         return kernel, bias, gamma, beta, mean, var
 
 
+class MomentStatsPointMLP(nn.Module):
+    """Dense + BN + ReLU with batch statistics from input moments.
+
+    Same variable tree and same apply-side arithmetic as ``PointMLP``
+    (Dense in the matmul dtype, BN affine folded per channel, ReLU); only
+    the *statistics* differ: instead of reducing the (B*N, F) pre-BN
+    activation twice (mean, mean-of-squares), the exact biased moments
+    come from the layer INPUT via the identity in fused_head.head_stats
+    (one (C,P)@(P,C) MXU matmul + O(C*F)). Because the stats exist before
+    the layer matmul runs, XLA fuses the BN affine + ReLU into the matmul
+    epilogue and the raw activation never round-trips HBM; the backward's
+    through-the-statistics terms ride head_stats' autodiff (two more
+    (P,C)@(C,C) matmuls) instead of big activation reductions. Same
+    precision class as the fused conv5 head, which shipped this identity
+    in round 2. Under a batch-sharded GSPMD jit the moment reductions are
+    global psums, so statistics stay global-batch (DP == single device).
+    """
+
+    features: int
+    epsilon: float = 1e-3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool, bn_momentum) -> jax.Array:
+        c = x.shape[-1]
+        kernel, bias = _DenseParams(self.features, name="dense")(c)
+        bn = _BNState(name="bn")
+        xc = x.astype(self.dtype)
+        kc = kernel.astype(self.dtype)
+        bc = bias.astype(self.dtype)
+        if train:
+            mean, var = fused_head.head_stats(xc, kc, bc)
+            (_, _), beta, gamma = bn(self.features, mean, var, bn_momentum)
+        else:
+            (mean, var), beta, gamma = bn(self.features)
+        y = jnp.dot(xc, kc) + bc
+        # Identical affine arithmetic to layers.BatchNorm: fold in f32,
+        # apply in the activation dtype.
+        inv = jax.lax.rsqrt(var + self.epsilon) * gamma
+        shift = beta - mean * inv
+        return jax.nn.relu(y * inv.astype(y.dtype) + shift.astype(y.dtype))
+
+
 class FusedPointMLPMax(nn.Module):
     """PointMLP(features) followed by max over the point axis, as one op.
 
@@ -143,6 +186,14 @@ class PointNetEncoder(nn.Module):
 
     dtype: jnp.dtype = jnp.float32
     head_impl: Optional[str] = None  # None = auto (pallas on TPU)
+    # Batch statistics of conv1..conv4 from input moments (the conv5 trick
+    # generalized; see MomentStatsPointMLP). Measured EXACTLY at parity
+    # with the direct statistics on the flagship step (2.856 vs 2.859 ms
+    # best-of-5 interleaved, B=32 N=2048 bf16) -- XLA already overlaps the
+    # direct reductions, and conv1-4's narrow channels make both forms
+    # cheap. Default False keeps the reference-identical statistics
+    # arithmetic; the module + flag stay as the recorded experiment.
+    moment_stats: bool = False
 
     _WIDTHS = (64, 64, 64, 128)
 
@@ -163,8 +214,9 @@ class PointNetEncoder(nn.Module):
             return out.astype(self.dtype)
 
         x = points
+        mlp = MomentStatsPointMLP if self.moment_stats else PointMLP
         for i, feats in enumerate(self._WIDTHS):
-            x = PointMLP(feats, dtype=self.dtype, name=f"conv{i + 1}")(
+            x = mlp(feats, dtype=self.dtype, name=f"conv{i + 1}")(
                 x, train, bn_momentum
             )
         return FusedPointMLPMax(
