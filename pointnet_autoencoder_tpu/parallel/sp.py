@@ -53,13 +53,21 @@ from pointnet_autoencoder_tpu.parallel.mesh import DATA_AXIS
 _INT32_MAX = jnp.iinfo(jnp.int32).max
 
 
+def _pvary(x, axis):
+    """Mark a replicated value as device-varying (pcast on jax >= 0.9,
+    where lax.pvary is deprecated; pvary on older releases)."""
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, axis, to="varying")
+    return jax.lax.pvary(x, axis)
+
+
 def _shard_body(x1, x2, *, axis: str, impl: Optional[str]):
     """Per-device body: x1 is the local (B, N/k, 3) slice, x2 replicated."""
     shard_n = x1.shape[1]
     # Mark the replicated cloud as device-varying before it enters the
     # kernel: its per-shard cotangents differ, and pvary is what tells
     # shard_map's transpose to psum them back to the replicated spec.
-    x2 = jax.lax.pvary(x2, axis)
+    x2 = _pvary(x2, axis)
     d1, i1, d2_loc, i2_loc = chamfer.nn_distance(x1, x2, impl=impl)
     # Local x indices -> global (shards are contiguous slices of N).
     offset = jax.lax.axis_index(axis).astype(jnp.int32) * shard_n
@@ -172,7 +180,7 @@ def _emd_shard_body(x1, x2, *, axis: str, n_global: int):
     m = x2.shape[1]
     multi_l, multi_r = emdlib._capacities(n_global, m)
     f32 = jnp.float32
-    x2 = jax.lax.pvary(x2, axis)
+    x2 = _pvary(x2, axis)
 
     d2 = sqdist_matrix(x1, x2)  # (B, n_loc, M), shard-local
     d = jnp.sqrt(d2)
@@ -208,11 +216,11 @@ def _emd_shard_body(x1, x2, *, axis: str, n_global: int):
     # everything shard-local starts pvaried to keep the scan carry's
     # varying-axes type fixed across iterations.
     init = (
-        jax.lax.pvary(jnp.full((b, n_loc), multi_l, f32), axis),
+        _pvary(jnp.full((b, n_loc), multi_l, f32), axis),
         jnp.full((b, m), multi_r, f32),
-        jax.lax.pvary(jnp.zeros((b,), f32), axis),
-        jax.lax.pvary(jnp.zeros((b, n_loc, 3), f32), axis),
-        jax.lax.pvary(jnp.zeros((b, m, 3), f32), axis),
+        _pvary(jnp.zeros((b,), f32), axis),
+        _pvary(jnp.zeros((b, n_loc, 3), f32), axis),
+        _pvary(jnp.zeros((b, m, 3), f32), axis),
     )
     (_, _, cost, grad1, grad2), _ = jax.lax.scan(round_fn, init, levels)
     # Cost and the xyz2 gradient are sums over all rows: one trailing psum
