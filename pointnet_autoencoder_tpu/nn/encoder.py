@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from pointnet_autoencoder_tpu.nn.layers import PointMLP, glorot
+from pointnet_autoencoder_tpu.ops.tpu import matmul_precision
 from pointnet_autoencoder_tpu.ops import fused_encoder, fused_head
 
 
@@ -108,7 +109,7 @@ class MomentStatsPointMLP(nn.Module):
             (_, _), beta, gamma = bn(self.features, mean, var, bn_momentum)
         else:
             (mean, var), beta, gamma = bn(self.features)
-        y = jnp.dot(xc, kc) + bc
+        y = jnp.dot(xc, kc, precision=matmul_precision(self.dtype)) + bc
         # Identical affine arithmetic to layers.BatchNorm: fold in f32,
         # apply in the activation dtype.
         inv = jax.lax.rsqrt(var + self.epsilon) * gamma
@@ -158,7 +159,7 @@ class FusedPointMLPMax(nn.Module):
             return out.astype(x.dtype)
 
         # Composed-XLA path: same arithmetic as PointMLP(bn=True) + max.
-        y = jnp.dot(xc, kc) + bc
+        y = jnp.dot(xc, kc, precision=matmul_precision(self.dtype)) + bc
         if train:
             yf = y.astype(jnp.float32)
             mean = jnp.mean(yf, axis=(0, 1))

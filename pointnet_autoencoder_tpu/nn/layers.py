@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from pointnet_autoencoder_tpu.ops.tpu import matmul_precision
+
 glorot = nn.initializers.glorot_uniform()
 
 
@@ -102,7 +104,8 @@ class PointMLP(nn.Module):
     def __call__(self, x, train: bool = True, bn_momentum=0.9) -> jax.Array:
         x = nn.Dense(
             self.features, kernel_init=glorot, bias_init=nn.initializers.zeros,
-            dtype=self.dtype, name="dense",
+            dtype=self.dtype, precision=matmul_precision(self.dtype),
+            name="dense",
         )(x)
         if self.bn:
             x = BatchNorm(name="bn")(x, train, bn_momentum)
@@ -145,6 +148,7 @@ class UpConv(nn.Module):
             kernel_init=glorot,
             bias_init=nn.initializers.zeros,
             dtype=self.dtype,
+            precision=matmul_precision(self.dtype),
             name="convt",
         )(x)
         if self.bn:
@@ -178,7 +182,8 @@ class Conv(nn.Module):
             self.features, kernel_size=tuple(self.kernel_size),
             strides=None if self.strides is None else tuple(self.strides),
             padding=self.padding, kernel_init=glorot,
-            bias_init=nn.initializers.zeros, dtype=self.dtype, name="conv",
+            bias_init=nn.initializers.zeros, dtype=self.dtype,
+            precision=matmul_precision(self.dtype), name="conv",
         )(x)
         if self.bn:
             x = BatchNorm(name="bn")(x, train, bn_momentum)

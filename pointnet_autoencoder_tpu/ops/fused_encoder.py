@@ -35,7 +35,10 @@ from pointnet_autoencoder_tpu.ops.fused_head import (
     _fold_affine,
     _pick_tile_n,
 )
-from pointnet_autoencoder_tpu.ops.tpu import VMEM_LIMIT_BYTES as _VMEM_LIMIT
+from pointnet_autoencoder_tpu.ops.tpu import (
+    VMEM_LIMIT_BYTES as _VMEM_LIMIT,
+    matmul_precision as _precision,
+)
 
 # (w, b, gamma, beta, mean, var) for one Dense+BN layer.
 LayerParams = Tuple[jax.Array, jax.Array, jax.Array, jax.Array,
@@ -66,13 +69,15 @@ def _eval_kernel(x_ref, *refs, num_layers: int, dtype):
     x = x_ref[0].astype(dtype)  # (TN, C0)
     for i in range(num_layers - 1):
         w, scale, shift = refs[3 * i], refs[3 * i + 1], refs[3 * i + 2]
-        y = jnp.dot(x, w[...], preferred_element_type=jnp.float32)
+        y = jnp.dot(x, w[...], preferred_element_type=jnp.float32,
+                    precision=_precision(dtype))
         o = jnp.maximum(y * scale[0] + shift[0], 0.0)  # (TN, F_i) f32
         # Inter-layer activations are cast to the matmul dtype, mirroring
         # the unfused path's materialized (bf16/f32) activations.
         x = o.astype(dtype)
     y = jnp.dot(x, refs[3 * (num_layers - 1)][...],
-                preferred_element_type=jnp.float32)  # (TN, F_L)
+                preferred_element_type=jnp.float32,
+                precision=_precision(dtype))  # (TN, F_L)
     tmax = jnp.max(y, axis=0, keepdims=True)  # (1, F_L)
     tmin = jnp.min(y, axis=0, keepdims=True)
 

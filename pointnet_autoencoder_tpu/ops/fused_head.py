@@ -51,7 +51,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pointnet_autoencoder_tpu.ops.tpu import VMEM_LIMIT_BYTES as _VMEM_LIMIT
+from pointnet_autoencoder_tpu.ops.tpu import (
+    VMEM_LIMIT_BYTES as _VMEM_LIMIT,
+    matmul_precision as _precision,
+)
 
 
 def _auto_impl() -> str:
@@ -94,7 +97,7 @@ def head_stats(x: jax.Array, w: jax.Array, b: jax.Array):
     mm = colmean @ w32  # E[x @ w], (F,)
     s = jax.lax.dot_general(
         xf, xf, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=_precision(xf.dtype),
     ) / p  # (C, C) second moment
     ey2 = jnp.sum((s @ w32) * w32, axis=0) + 2.0 * b32 * mm + b32 * b32
     mean = mm + b32
@@ -110,7 +113,8 @@ def head_stats(x: jax.Array, w: jax.Array, b: jax.Array):
 def _fwd_kernel(x_ref, w_ref, scale_ref, shift_ref, max_ref, arg_ref, *,
                 tile_n: int):
     j = pl.program_id(1)
-    y = jnp.dot(x_ref[0], w_ref[...], preferred_element_type=jnp.float32)
+    y = jnp.dot(x_ref[0], w_ref[...], preferred_element_type=jnp.float32,
+                precision=_precision(x_ref.dtype))
     o = jnp.maximum(y * scale_ref[0] + shift_ref[0], 0.0)  # (TN, F)
     tmax = jnp.max(o, axis=0, keepdims=True)  # (1, F)
     # First row attaining the max within this tile, as a global point index.
@@ -181,11 +185,11 @@ def _bwd_kernel(x_ref, w_ref, gv_ref, arg_ref, dx_ref, dw_ref, *,
     gy = jnp.where(rows == arg_ref[0], gv_ref[0], 0.0).astype(dtype)
     dx_ref[0] = jax.lax.dot_general(
         gy, w_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=_precision(dtype),
     ).astype(dx_ref.dtype)
     dw = jax.lax.dot_general(
         x_ref[0], gy, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=_precision(dtype),
     )
 
     @pl.when((i == 0) & (j == 0))
@@ -254,7 +258,8 @@ def _head_forward(x, w, b, gamma, beta, mean, var, eps, impl, interpret):
     """(maxout, argmax) via the selected implementation."""
     scale, shift = _fold_affine(b, gamma, beta, mean, var, eps)
     if impl == "xla":
-        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32,
+                    precision=_precision(x.dtype))
         o = jnp.maximum(y * scale + shift, 0.0)
         return jnp.max(o, axis=1), jnp.argmax(o, axis=1).astype(jnp.int32)
     return _forward_pallas(x, w, scale, shift, interpret)
@@ -304,9 +309,11 @@ def _head_max_bwd(eps, impl, interpret, res, g):
                   == argmax[:, None, :])
         gy = jnp.where(onehot, gvals[:, None, :], 0.0).astype(x.dtype)
         dx = jnp.einsum("bnf,cf->bnc", gy, w,
-                        preferred_element_type=jnp.float32).astype(x.dtype)
+                        preferred_element_type=jnp.float32,
+                        precision=_precision(x.dtype)).astype(x.dtype)
         dw = jnp.einsum("bnc,bnf->cf", x, gy,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=_precision(x.dtype))
     else:
         dx, dw = _backward_pallas(x, w, gvals, argmax, interpret)
     # Cotangent dtypes must mirror the primal dtypes; b's may differ from

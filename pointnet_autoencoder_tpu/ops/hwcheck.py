@@ -1,0 +1,159 @@
+"""On-hardware kernel parity check: every Pallas op vs its numpy oracle.
+
+The pytest suite runs the kernels in interpret mode on a CPU backend
+(tests/conftest.py); this module is the complementary check that the
+*compiled* kernels on the attached accelerator still match the
+independent host oracles (ops/oracles.py). Run it after kernel changes or
+on a new jaxlib/libtpu:
+
+    python -m pointnet_autoencoder_tpu.ops.hwcheck
+
+Prints one PASS/FAIL line per contract and exits nonzero on any failure.
+Methodology (CLAUDE.md): inputs are always passed as jit ARGUMENTS (a
+zero-arg jitted closure over device arrays produced wrong gather/scatter
+results on the axon backend), and comparisons are against numpy, never
+against another on-device program.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointnet_autoencoder_tpu.ops import chamfer, emd, fused_encoder, \
+    fused_head, oracles
+
+_FAILURES = []
+
+
+def _check(name: str, err: float, tol: float, extra: str = ""):
+    ok = bool(err <= tol)
+    print(f"{'PASS' if ok else 'FAIL'}  {name}: max err {err:.3e} "
+          f"(tol {tol:.0e}){' ' + extra if extra else ''}")
+    if not ok:
+        _FAILURES.append(name)
+
+
+def _maxerr(a, b) -> float:
+    return float(np.max(np.abs(np.asarray(a, np.float64)
+                               - np.asarray(b, np.float64))))
+
+
+def check_chamfer(b=4, n=500, m=388, seed=0):
+    """Forward (dist exact-ish, idx exact) + analytic VJP, both impls,
+    non-tile-multiple N != M on purpose (exercises kernel padding)."""
+    rng = np.random.RandomState(seed)
+    x1 = rng.randn(b, n, 3).astype(np.float32)
+    x2 = rng.randn(b, m, 3).astype(np.float32)
+    g1 = rng.randn(b, n).astype(np.float32)
+    g2 = rng.randn(b, m).astype(np.float32)
+    rd1, ri1, rd2, ri2 = oracles.nn_distance_np(x1, x2)
+    rgx1, rgx2 = oracles.nn_distance_grad_np(x1, x2, ri1, ri2, g1, g2)
+    for impl in ("pallas", "xla"):
+        fwd = jax.jit(lambda a, c: chamfer.nn_distance(a, c, impl=impl))
+        d1, i1, d2, i2 = jax.device_get(fwd(x1, x2))
+        _check(f"chamfer[{impl}] dist", max(_maxerr(d1, rd1),
+                                            _maxerr(d2, rd2)), 1e-5)
+        idx_ok = int(np.sum(i1 != ri1) + np.sum(i2 != ri2))
+        _check(f"chamfer[{impl}] idx (mismatches)", float(idx_ok), 0.0)
+
+        def scalarized(a, c, ga, gc):
+            d1_, _, d2_, _ = chamfer.nn_distance(a, c, impl=impl)
+            return jnp.sum(d1_ * ga) + jnp.sum(d2_ * gc)
+
+        gx1, gx2 = jax.device_get(jax.jit(
+            jax.grad(scalarized, argnums=(0, 1)))(x1, x2, g1, g2))
+        _check(f"chamfer[{impl}] grad", max(_maxerr(gx1, rgx1),
+                                            _maxerr(gx2, rgx2)), 5e-5)
+
+
+def check_emd(b=2, n=256, m=192, seed=1):
+    """Annealed matching, cost, and fused cost+grads vs the GPU-semantics
+    oracle, unequal cloud sizes (integer capacity factors)."""
+    rng = np.random.RandomState(seed)
+    x1 = rng.rand(b, n, 3).astype(np.float32)
+    x2 = rng.rand(b, m, 3).astype(np.float32)
+    rmatch = oracles.approx_match_np(x1, x2)
+    rcost = oracles.match_cost_np(x1, x2, rmatch)
+    rg1, rg2 = oracles.match_cost_grad_np(x1, x2, rmatch)
+
+    match = jax.device_get(jax.jit(emd.approx_match)(x1, x2))
+    _check("emd approx_match", _maxerr(match, rmatch), 1e-3)
+    cost = jax.device_get(jax.jit(emd.match_cost)(x1, x2, jnp.asarray(rmatch)))
+    _check("emd match_cost", _maxerr(cost, rcost) / max(float(rcost.max()),
+                                                        1.0), 1e-4,
+           extra="(relative)")
+
+    def fused_sum(a, c):
+        return jnp.sum(emd.emd_cost(a, c))
+
+    fcost = jax.device_get(jax.jit(emd.emd_cost)(x1, x2))
+    _check("emd fused cost", _maxerr(fcost, rcost) / max(float(rcost.max()),
+                                                         1.0), 2e-3,
+           extra="(relative)")
+    g1, g2 = jax.device_get(jax.jit(jax.grad(fused_sum, argnums=(0, 1)))(
+        x1, x2))
+    scale = max(float(np.abs(rg1).max()), float(np.abs(rg2).max()))
+    _check("emd fused grads", max(_maxerr(g1, rg1), _maxerr(g2, rg2)) / scale,
+           5e-3, extra="(relative to grad max)")
+
+
+def check_fused_head(b=3, n=96, c=16, f=128, seed=2):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(b, n, c).astype(np.float32)
+    w = (rng.randn(c, f) * 0.3).astype(np.float32)
+    bias = (rng.randn(f) * 0.1).astype(np.float32)
+    gamma = (1.0 + 0.2 * rng.randn(f)).astype(np.float32)
+    beta = (0.1 * rng.randn(f)).astype(np.float32)
+    y = x.reshape(-1, c) @ w + bias
+    mean = y.mean(0).astype(np.float32)
+    var = (np.mean(y * y, axis=0) - mean * mean).astype(np.float32)
+    rmax, rarg = oracles.fused_head_np(x, w, bias, gamma, beta, mean, var)
+    out = jax.device_get(jax.jit(
+        lambda *a: fused_head.fused_dense_bn_relu_max(*a, impl="pallas")
+    )(x, w, bias, gamma, beta, mean, var))
+    _check("fused_head fwd", _maxerr(out, rmax), 1e-5)
+
+
+def check_fused_encoder(b=2, n=64, seed=3):
+    """Whole-encoder eval kernel vs a float64 numpy walk of the chain."""
+    rng = np.random.RandomState(seed)
+    widths = (64, 64, 64, 128, 1024)
+    pts = rng.randn(b, n, 3).astype(np.float32)
+    layers, ref, c = [], pts.astype(np.float64), 3
+    jl = []
+    for fw in widths:
+        w = (rng.randn(c, fw) * 0.3).astype(np.float32)
+        bias = (rng.randn(fw) * 0.1).astype(np.float32)
+        gamma = (1.0 + 0.2 * rng.randn(fw)).astype(np.float32)
+        beta = (0.1 * rng.randn(fw)).astype(np.float32)
+        mean = (0.05 * rng.randn(fw)).astype(np.float32)
+        var = (1.0 + 0.1 * rng.rand(fw)).astype(np.float32)
+        inv = gamma / np.sqrt(var + 1e-3)
+        ref = np.maximum((ref @ w) * inv + (bias - mean) * inv + beta, 0.0)
+        jl.append(tuple(map(jnp.asarray, (w, bias, gamma, beta, mean, var))))
+        c = fw
+    ref = ref.max(axis=1)
+    out = jax.device_get(jax.jit(
+        lambda p: fused_encoder.fused_encoder_eval(p, jl))(pts))
+    _check("fused_encoder eval fwd", _maxerr(out, ref), 1e-4)
+
+
+def main() -> int:
+    print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
+    check_chamfer()
+    check_emd()
+    check_fused_head()
+    check_fused_encoder()
+    if _FAILURES:
+        print(f"{len(_FAILURES)} FAILURES: {_FAILURES}")
+        return 1
+    print("all hardware parity checks passed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
