@@ -123,6 +123,35 @@ def main() -> None:
 
     fwd_s = time_forward(iters=200, windows=3)
 
+    def time_forward_b1(iters: int, windows: int) -> float:
+        """Latency config: the B=1 eval forward (whole-encoder fused
+        kernel; the serving latency number in docs/RESULTS.md)."""
+        spec = get_model_spec("model")
+        model, variables = spec.init_variables(
+            jax.random.PRNGKey(0), num_point, dtype=jnp.bfloat16)
+
+        def fwd(variables, pts):
+            pred, _ = model.apply(variables, pts, train=False,
+                                  bn_momentum=0.0)
+            return pred
+
+        f = jax.jit(fwd)
+        b1 = [batches[i][:1] for i in range(2)]
+        out = f(variables, b1[0])
+        float(out[0, 0, 0])
+        best_dt = float("inf")
+        for _ in range(windows):
+            t0 = time.perf_counter()
+            for i in range(iters):
+                out = f(variables, b1[i % 2])
+            float(out[0, 0, 0])
+            best_dt = min(best_dt, time.perf_counter() - t0)
+        return best_dt / iters
+
+    # B=1 cannot shard over a multi-chip 'data' axis; latency is a
+    # single-chip number by definition.
+    fwd_b1_s = time_forward_b1(iters=300, windows=3) if n_chips == 1 else None
+
     from pointnet_autoencoder_tpu.utils import roofline
 
     print(json.dumps({
@@ -141,6 +170,8 @@ def main() -> None:
             "serving_fwd_ms": round(1e3 * fwd_s, 3),
             "serving_shapes_per_sec_per_chip": round(
                 batch_size / fwd_s / n_chips, 2),
+            "serving_b1_latency_ms": (round(1e3 * fwd_b1_s, 3)
+                                      if fwd_b1_s is not None else None),
             # Hardware-normalized: measured vs the analytic v5e floor
             # (sum of MXU matmul time + loss-kernel VPU time; see
             # utils/roofline.py for the op accounting). The floor models
