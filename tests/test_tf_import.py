@@ -1,0 +1,396 @@
+"""Reference TF-checkpoint import: mapping, transforms, bundle round trip.
+
+Synthesizes checkpoints with the exact variable names/shapes the reference
+stack writes (utils/tf_util.py layer scopes + tf.contrib.layers.batch_norm
+children + optimizer slots), imports them, and verifies the eval forward
+against oracles that consume the ORIGINAL TF-layout arrays:
+
+- FC/pointwise-conv chains: a numpy re-implementation of the reference
+  graph semantics (conv2d with [1,1]/[1,3] kernels == matmul over the
+  flattened patch, tf.nn.batch_normalization with eps=1e-3).
+- Transposed convolutions and the conv1 patch order: the real
+  ``tf.nn.conv2d`` / ``tf.nn.conv2d_transpose`` kernels (independent of the
+  importer's reshape/flip rules). Skipped when tensorflow is absent.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from pointnet_autoencoder_tpu.models.registry import get_model_spec
+from pointnet_autoencoder_tpu import tf_import
+
+try:
+    import tensorflow as tf
+
+    HAVE_TF = True
+except ImportError:  # pragma: no cover - environment-dependent
+    HAVE_TF = False
+
+needs_tf = pytest.mark.skipif(not HAVE_TF, reason="tensorflow not installed")
+
+
+# ---------------------------------------------------------------------------
+# Reference checkpoint synthesis (names/shapes per utils/tf_util.py)
+# ---------------------------------------------------------------------------
+
+ENCODER_CHANNELS = (64, 64, 64, 128, 1024)
+
+
+def _bn_vars(v, scope, c, rng):
+    v[f"{scope}/bn/beta"] = rng.randn(c).astype(np.float32) * 0.1
+    v[f"{scope}/bn/gamma"] = (1.0 + rng.randn(c) * 0.1).astype(np.float32)
+    v[f"{scope}/bn/moving_mean"] = rng.randn(c).astype(np.float32) * 0.1
+    v[f"{scope}/bn/moving_variance"] = (
+        np.abs(rng.randn(c)) * 0.5 + 0.5).astype(np.float32)
+
+
+def _conv2d(v, scope, kh, kw, cin, cout, rng, bn=True):
+    v[f"{scope}/weights"] = (
+        rng.randn(kh, kw, cin, cout) * 0.05).astype(np.float32)
+    v[f"{scope}/biases"] = rng.randn(cout).astype(np.float32) * 0.05
+    if bn:
+        _bn_vars(v, scope, cout, rng)
+
+
+def _conv1d(v, scope, cin, cout, rng, bn=True):
+    v[f"{scope}/weights"] = (rng.randn(1, cin, cout) * 0.05).astype(np.float32)
+    v[f"{scope}/biases"] = rng.randn(cout).astype(np.float32) * 0.05
+    if bn:
+        _bn_vars(v, scope, cout, rng)
+
+
+def _fc(v, scope, cin, cout, rng, bn=True):
+    v[f"{scope}/weights"] = (rng.randn(cin, cout) * 0.05).astype(np.float32)
+    v[f"{scope}/biases"] = rng.randn(cout).astype(np.float32) * 0.05
+    if bn:
+        _bn_vars(v, scope, cout, rng)
+
+
+def _convt(v, scope, kh, kw, cout, cin, rng, bn=True):
+    # conv2d_transpose kernel layout is (kh, kw, OUT, IN)
+    # (utils/tf_util.py:227-229).
+    v[f"{scope}/weights"] = (
+        rng.randn(kh, kw, cout, cin) * 0.05).astype(np.float32)
+    v[f"{scope}/biases"] = rng.randn(cout).astype(np.float32) * 0.05
+    if bn:
+        _bn_vars(v, scope, cout, rng)
+
+
+def _encoder_vars(v, rng):
+    cin = 1
+    kws = (3, 1, 1, 1, 1)
+    prev = 1
+    for i, cout in enumerate(ENCODER_CHANNELS):
+        _conv2d(v, f"conv{i + 1}", 1, kws[i], prev if i else 1, cout, rng)
+        prev = cout
+    return v
+
+
+def synth_reference_checkpoint(model: str, num_point: int, seed: int = 0):
+    """All variables the reference's Saver would write for --model=model."""
+    rng = np.random.RandomState(seed)
+    v = {}
+    _encoder_vars(v, rng)
+    if model in ("model", "model_cpu", "model_emd"):
+        _fc(v, "fc1", 1024, 1024, rng)
+        _fc(v, "fc2", 1024, 1024, rng)
+        _fc(v, "fc3", 1024, num_point * 3, rng, bn=False)
+    elif model == "model_upconv":
+        _fc(v, "fc00", 1024, 1024, rng)
+        _convt(v, "upconv1", 2, 2, 512, 512, rng)
+        _convt(v, "upconv2", 3, 3, 256, 512, rng)
+        _convt(v, "upconv3", 4, 5, 256, 256, rng)
+        _convt(v, "upconv4", 5, 7, 128, 256, rng)
+        _convt(v, "upconv5", 1, 1, 3, 128, rng, bn=False)
+    elif model == "model_fc_upconv":
+        _fc(v, "fc00", 1024, 512, rng)
+        _fc(v, "fc1", 512, 512, rng)
+        _fc(v, "fc2", 512, 512, rng)
+        _fc(v, "fc3", 512, 1024 * 3, rng, bn=False)
+        _convt(v, "upconv1", 2, 2, 512, 512, rng)
+        _convt(v, "upconv2", 3, 3, 256, 512, rng)
+        _convt(v, "upconv3", 4, 4, 256, 256, rng)
+        _convt(v, "upconv4", 5, 5, 128, 256, rng)
+        _convt(v, "upconv5", 1, 1, 3, 128, rng, bn=False)
+    elif model == "model_hierachy":
+        _fc(v, "fc00", 1024, 512, rng)
+        _fc(v, "fc01", 512, 512, rng)
+        _fc(v, "fc1", 512, 64 * 256, rng)
+        _fc(v, "fc1_xyz", 512, 64 * 3, rng, bn=False)
+        _conv1d(v, "fc_conv1", 256, 256, rng)
+        _conv1d(v, "fc_conv3", 256, (num_point // 64) * 3, rng, bn=False)
+    else:
+        raise AssertionError(model)
+    return v
+
+
+def _with_optimizer_state(v, rng):
+    """Adam slots + bookkeeping, as in a real training checkpoint
+    (train.py:101,117-121; slots exist for trainable vars only)."""
+    out = dict(v)
+    for name, val in v.items():
+        if "moving_" in name:
+            continue  # BN moving stats are not trainable
+        out[name + "/Adam"] = (rng.randn(*val.shape) * 0.01).astype(np.float32)
+        out[name + "/Adam_1"] = np.abs(
+            rng.randn(*val.shape) * 0.01).astype(np.float32)
+    out["batch"] = np.asarray(12345, np.int64)
+    out["beta1_power"] = np.asarray(0.5, np.float32)
+    out["beta2_power"] = np.asarray(0.9, np.float32)
+    return out
+
+
+def _save_npz(tmp_path, v, name="ref.npz"):
+    path = os.path.join(str(tmp_path), name)
+    np.savez(path, **v)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# Oracles consuming the TF-layout arrays directly
+# ---------------------------------------------------------------------------
+
+
+def _np_bn(y, v, scope):
+    mean = v[f"{scope}/bn/moving_mean"]
+    var = v[f"{scope}/bn/moving_variance"]
+    inv = 1.0 / np.sqrt(var + 1e-3)
+    return (y - mean) * inv * v[f"{scope}/bn/gamma"] + v[f"{scope}/bn/beta"]
+
+
+def _np_fc(x, v, scope, bn=True, act=True):
+    y = x @ v[f"{scope}/weights"] + v[f"{scope}/biases"]
+    if bn:
+        y = _np_bn(y, v, scope)
+    return np.maximum(y, 0.0) if act else y
+
+
+def _np_encoder(pts, v):
+    """Reference encoder semantics in numpy: pointwise convs == matmuls over
+    the (kh*kw*cin)-flattened patch; max-pool over points."""
+    x = pts  # (B, N, 3): conv1's [1,3] kernel contracts the xyz axis
+    for i, _c in enumerate(ENCODER_CHANNELS):
+        scope = f"conv{i + 1}"
+        w = v[f"{scope}/weights"].reshape(-1, v[f"{scope}/weights"].shape[-1])
+        x = np.maximum(_np_bn(x @ w + v[f"{scope}/biases"], v, scope), 0.0)
+    return x.max(axis=1)  # (B, 1024)
+
+
+def _tf_encoder(pts, v):
+    """Same encoder via the real tf.nn.conv2d on the (B,N,3,1) pseudo-image
+    -- independent of the importer's patch-flatten rule."""
+    x = tf.constant(pts[..., None])  # (B, N, 3, 1)
+    for i, _c in enumerate(ENCODER_CHANNELS):
+        scope = f"conv{i + 1}"
+        x = tf.nn.conv2d(x, v[f"{scope}/weights"], [1, 1, 1, 1], "VALID")
+        x = x + v[f"{scope}/biases"]
+        x = tf.constant(np.maximum(_np_bn(x.numpy(), v, scope), 0.0))
+    return x.numpy().max(axis=(1, 2))  # (B, 1024)
+
+
+def _tf_upconv_stack(feat_map, v, stages):
+    """Decoder deconv stages via the real tf.nn.conv2d_transpose."""
+    x = feat_map
+    n_stages = len(stages)
+    for i, (kh, kw, sh, sw) in enumerate(stages):
+        scope = f"upconv{i + 1}"
+        w = v[f"{scope}/weights"]
+        cout = w.shape[2]
+        b, h, wd = x.shape[0], x.shape[1], x.shape[2]
+        oh = h * sh + max(kh - sh, 0)
+        ow = wd * sw + max(kw - sw, 0)
+        y = tf.nn.conv2d_transpose(
+            tf.constant(x), w, [b, oh, ow, cout], [1, sh, sw, 1], "VALID"
+        ).numpy() + v[f"{scope}/biases"]
+        if i < n_stages - 1:  # last stage: no bn, no relu
+            y = np.maximum(_np_bn(y, v, scope), 0.0)
+        x = y
+    return x
+
+
+def _apply_imported(model, num_point, tree, pts):
+    spec = get_model_spec(model)
+    mod = spec.make(num_point)
+    pred, end_points = mod.apply(tree, pts, train=False, bn_momentum=0.0)
+    return np.asarray(pred), jax.tree_util.tree_map(np.asarray, end_points)
+
+
+# ---------------------------------------------------------------------------
+# Tests
+# ---------------------------------------------------------------------------
+
+
+def test_import_fc_model_matches_numpy_oracle(tmp_path):
+    num_point = 256
+    v = synth_reference_checkpoint("model", num_point)
+    path = _save_npz(tmp_path, v)
+    tree, report = tf_import.import_reference_checkpoint(
+        "model", path, num_point)
+    assert report["unmapped"] == []
+
+    rng = np.random.RandomState(7)
+    pts = rng.randn(2, num_point, 3).astype(np.float32)
+    pred, ep = _apply_imported("model", num_point, tree, pts)
+
+    feat = _np_encoder(pts, v)
+    x = _np_fc(feat, v, "fc1")
+    x = _np_fc(x, v, "fc2")
+    x = _np_fc(x, v, "fc3", bn=False, act=False)
+    want = x.reshape(2, num_point, 3)
+
+    np.testing.assert_allclose(ep["embedding"], feat, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(pred, want, rtol=2e-4, atol=2e-4)
+
+
+def test_import_hierarchy_matches_numpy_oracle(tmp_path):
+    num_point = 128
+    v = synth_reference_checkpoint("model_hierachy", num_point)
+    path = _save_npz(tmp_path, v)
+    tree, report = tf_import.import_reference_checkpoint(
+        "model_hierachy", path, num_point)
+    assert report["unmapped"] == []
+
+    rng = np.random.RandomState(3)
+    pts = rng.randn(2, num_point, 3).astype(np.float32)
+    pred, ep = _apply_imported("model_hierachy", num_point, tree, pts)
+
+    feat = _np_encoder(pts, v)
+    feat = _np_fc(feat, v, "fc00")
+    feat = _np_fc(feat, v, "fc01")
+    pc1_feat = _np_fc(feat, v, "fc1").reshape(2, 64, 256)
+    pc1_xyz = _np_fc(feat, v, "fc1_xyz", bn=False, act=False).reshape(2, 64, 3)
+    w = v["fc_conv1/weights"][0]
+    pc2 = np.maximum(
+        _np_bn(pc1_feat @ w + v["fc_conv1/biases"], v, "fc_conv1"), 0.0)
+    pc2_xyz = (pc2 @ v["fc_conv3/weights"][0] + v["fc_conv3/biases"]).reshape(
+        2, 64, num_point // 64, 3) + pc1_xyz[:, :, None, :]
+    want = pc2_xyz.reshape(2, num_point, 3)
+
+    np.testing.assert_allclose(ep["pc1_xyz"], pc1_xyz, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(pred, want, rtol=2e-4, atol=2e-4)
+
+
+@needs_tf
+@pytest.mark.parametrize("model,stages,fmap_shape", [
+    ("model_upconv",
+     ((2, 2, 2, 2), (3, 3, 1, 1), (4, 5, 2, 3), (5, 7, 3, 3), (1, 1, 1, 1)),
+     (1, 2, 512)),
+    ("model_fc_upconv",
+     ((2, 2, 1, 1), (3, 3, 1, 1), (4, 4, 2, 2), (5, 5, 3, 3), (1, 1, 1, 1)),
+     (1, 1, 512)),
+])
+def test_import_upconv_matches_tf_ops(tmp_path, model, stages, fmap_shape):
+    """Deconv decoders against the REAL tf.nn kernels (encoder included):
+    verifies the convT channel-swap + spatial-flip and the conv1 patch
+    order against an implementation the importer shares nothing with."""
+    num_point = 2048
+    v = synth_reference_checkpoint(model, num_point)
+    path = _save_npz(tmp_path, v)
+    tree, report = tf_import.import_reference_checkpoint(
+        model, path, num_point)
+    assert report["unmapped"] == []
+
+    rng = np.random.RandomState(11)
+    pts = rng.randn(2, num_point, 3).astype(np.float32)
+    pred, _ = _apply_imported(model, num_point, tree, pts)
+
+    feat = _tf_encoder(pts, v)
+    feat = _np_fc(feat, v, "fc00")
+    fmap = feat.reshape((2,) + fmap_shape).astype(np.float32)
+    up = _tf_upconv_stack(fmap, v, stages).reshape(2, -1, 3)
+    if model == "model_fc_upconv":
+        x = _np_fc(feat, v, "fc1")
+        x = _np_fc(x, v, "fc2")
+        x = _np_fc(x, v, "fc3", bn=False, act=False).reshape(2, -1, 3)
+        want = np.concatenate([x, up], axis=1)
+    else:
+        want = up
+
+    np.testing.assert_allclose(pred, want, rtol=5e-4, atol=5e-4)
+
+
+@needs_tf
+def test_import_real_tf_saver_checkpoint(tmp_path):
+    """End to end through an actual tf.train.Saver checkpoint, optimizer
+    slots included -- the exact artifact the reference's train.py leaves."""
+    num_point = 256
+    v = synth_reference_checkpoint("model", num_point, seed=5)
+    full = _with_optimizer_state(v, np.random.RandomState(6))
+
+    with tf.Graph().as_default():
+        tvars = {
+            name: tf.compat.v1.get_variable(
+                f"v{i}", initializer=tf.constant(val))
+            for i, (name, val) in enumerate(full.items())
+        }
+        saver = tf.compat.v1.train.Saver(var_list=tvars)
+        with tf.compat.v1.Session() as sess:
+            sess.run(tf.compat.v1.global_variables_initializer())
+            prefix = saver.save(sess, os.path.join(str(tmp_path), "model.ckpt"))
+
+    tree, report = tf_import.import_reference_checkpoint(
+        "model", prefix, num_point)
+    assert report["unmapped"] == []
+    # every model var mapped; every Adam slot + bookkeeping var skipped
+    assert report["mapped"] == len(v)
+    assert report["skipped_optimizer_state"] == len(full) - len(v)
+
+    rng = np.random.RandomState(7)
+    pts = rng.randn(2, num_point, 3).astype(np.float32)
+    pred, _ = _apply_imported("model", num_point, tree, pts)
+    feat = _np_encoder(pts, v)
+    x = _np_fc(_np_fc(feat, v, "fc1"), v, "fc2")
+    want = _np_fc(x, v, "fc3", bn=False, act=False).reshape(2, num_point, 3)
+    np.testing.assert_allclose(pred, want, rtol=2e-4, atol=2e-4)
+
+
+def test_wrong_family_is_rejected(tmp_path):
+    v = synth_reference_checkpoint("model_upconv", 2048)
+    path = _save_npz(tmp_path, v)
+    with pytest.raises(tf_import.TFImportError):
+        tf_import.import_reference_checkpoint("model", path, 2048)
+
+
+def test_missing_variable_is_reported(tmp_path):
+    v = synth_reference_checkpoint("model", 256)
+    del v["fc2/weights"]
+    path = _save_npz(tmp_path, v)
+    with pytest.raises(tf_import.TFImportError, match="fc2"):
+        tf_import.import_reference_checkpoint("model", path, 256)
+
+
+def test_bundle_roundtrip_serves(tmp_path):
+    """--out writes a serving bundle InferenceSession.from_bundle opens."""
+    from pointnet_autoencoder_tpu.inference import InferenceSession
+
+    num_point = 256
+    v = synth_reference_checkpoint("model", num_point)
+    path = _save_npz(tmp_path, v)
+    out = os.path.join(str(tmp_path), "bundle")
+    tree, report = tf_import.import_reference_checkpoint(
+        "model", path, num_point, out_dir=out)
+    assert report["bundle"] == out
+
+    sess = InferenceSession.from_bundle(out, batch_size=2)
+    rng = np.random.RandomState(9)
+    pts = rng.randn(2, num_point, 3).astype(np.float32)
+    got = sess.reconstruct(pts)
+    want, _ = _apply_imported("model", num_point, tree, pts)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_cli_dry_run(tmp_path, capsys):
+    from pointnet_autoencoder_tpu.cli import import_tf as cli
+
+    num_point = 256
+    v = synth_reference_checkpoint("model", num_point)
+    path = _save_npz(tmp_path, v)
+    report = cli.main(["--model", "model", "--tf_checkpoint", path,
+                       "--num_point", str(num_point)])
+    assert report["mapped"] == len(v)
+    assert "bundle" not in report
+    assert "mapped" in capsys.readouterr().out
