@@ -1,0 +1,62 @@
+"""Serve a trained model over TCP with dynamic batching.
+
+    python -m pointnet_autoencoder_tpu.cli.serve \\
+        --model model --model_path serving/bundle --num_point 2048 \\
+        --host 0.0.0.0 --port 7433
+
+``--model_path`` accepts a training checkpoint (model.ckpt /
+best_model_epoch_NNN.ckpt), a serving bundle (cli/export.py), or an
+imported reference checkpoint (cli/import_tf.py). Protocol and client
+(``PointClient``) are in pointnet_autoencoder_tpu/serve.py; concurrent
+requests are coalesced into full device batches (see that module's
+docstring). The reference has no serving surface at all (its test.py is
+an interactive per-shape loop, test.py:79-93).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="model")
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--num_point", type=int, default=2048)
+    p.add_argument("--batch_size", type=int, default=32,
+                   help="Compiled device batch = packing limit")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=7433)
+    p.add_argument("--max_delay_ms", type=float, default=2.0,
+                   help="How long a partial batch waits for co-riders")
+    p.add_argument("--data_parallel", type=int, default=None,
+                   help="Shard server batches over N devices")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from pointnet_autoencoder_tpu.inference import InferenceSession
+    from pointnet_autoencoder_tpu.serve import PointServer
+
+    import os
+
+    if os.path.exists(os.path.join(args.model_path, "bundle_meta.json")):
+        session = InferenceSession.from_bundle(
+            args.model_path, batch_size=args.batch_size,
+            data_parallel=args.data_parallel)
+    else:
+        session = InferenceSession(
+            args.model, args.model_path, args.num_point,
+            batch_size=args.batch_size, data_parallel=args.data_parallel)
+    server = PointServer(session, host=args.host, port=args.port,
+                         max_delay_ms=args.max_delay_ms).start()
+    print(f"serving {session.model_name} (num_point={session.num_point}, "
+          f"batch={args.batch_size}) on {args.host}:{server.port}",
+          flush=True)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,379 @@
+"""Network serving: a dynamic-batching point-cloud inference server.
+
+The reference's only inference surface is an interactive per-shape loop
+(test.py:79-93). This module is the production counterpart: a TCP server
+that owns one ``InferenceSession`` and coalesces concurrent client
+requests into full device batches, so many low-rate clients share the
+chip at its batched throughput instead of paying a dispatch each.
+
+    python -m pointnet_autoencoder_tpu.cli.serve \\
+        --model model --model_path serving/bundle --num_point 2048 \\
+        --port 7433
+
+    client = PointClient("localhost", 7433)
+    rec = client.reconstruct(cloud)          # (N,3) or (B,N,3) float32
+    emb = client.embed(cloud)
+    dec = client.decode(embedding)
+
+Design notes (TPU-first):
+
+- Batching is the whole point: the fused eval encoder runs B=32 in
+  ~0.34 ms vs B=1 in ~0.32 ms on a v5e -- a full batch is ~30x the
+  shapes/sec of single-shape dispatches. The batcher drains whatever is
+  queued, packs up to the session's compiled batch size per op kind, and
+  waits at most ``max_delay_ms`` for stragglers before dispatching a
+  partial batch (latency floor for a lone client, throughput ceiling
+  under load).
+- One batcher thread owns all device dispatch; socket threads only queue
+  and wait. JAX dispatch is not thread-safe-by-contention-free here, and
+  serializing it also keeps compiled-shape reuse perfect (the session
+  pads ragged tails).
+- The wire protocol is deliberately primitive: a 4-byte big-endian
+  length + JSON header, then a raw little-endian float32 payload. No
+  schema compiler, no dependency; any language speaks it in ten lines.
+- Python (not C++) is the right tier for this component: at 2048 points
+  a request is 24 KB and the server's job is queue management around a
+  ~0.3 ms device call; the hot path is the TPU program, already owned by
+  XLA/Pallas kernels. (The host-native tier in this framework -- C++
+  fastio/renderer -- exists where the host itself was the bottleneck.)
+
+Protocol:
+    request  header {"op": "reconstruct"|"embed"|"decode"|"ping"|"stats",
+                     "shape": [...]} + payload float32 bytes (row-major)
+    response header {"ok": true, "shape": [...]} + payload
+             or     {"ok": false, "error": "..."} (no payload)
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import socket
+import struct
+import threading
+import time
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_HDR = struct.Struct(">I")
+_MAX_HEADER = 1 << 16
+_MAX_PAYLOAD = 1 << 30
+
+
+# ---------------------------------------------------------------------------
+# Framing
+# ---------------------------------------------------------------------------
+
+
+def _read_exact(sock: socket.socket, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed mid-message")
+        buf.extend(chunk)
+    return bytes(buf)
+
+
+def send_message(sock: socket.socket, header: dict,
+                 payload: Optional[np.ndarray] = None) -> None:
+    if payload is not None:
+        header = dict(header)
+        header["shape"] = list(payload.shape)
+    raw = json.dumps(header).encode()
+    sock.sendall(_HDR.pack(len(raw)) + raw)
+    if payload is not None:
+        sock.sendall(np.ascontiguousarray(payload, "<f4").tobytes())
+
+
+def recv_message(sock: socket.socket) -> Tuple[dict, Optional[np.ndarray]]:
+    (hlen,) = _HDR.unpack(_read_exact(sock, 4))
+    if hlen > _MAX_HEADER:
+        raise ValueError(f"header too large ({hlen} bytes)")
+    header = json.loads(_read_exact(sock, hlen))
+    payload = None
+    shape = header.get("shape")
+    if shape:
+        count = int(np.prod(shape))
+        nbytes = count * 4
+        if nbytes > _MAX_PAYLOAD:
+            raise ValueError(f"payload too large ({nbytes} bytes)")
+        payload = np.frombuffer(
+            _read_exact(sock, nbytes), "<f4").reshape(shape)
+    return header, payload
+
+
+# ---------------------------------------------------------------------------
+# Server
+# ---------------------------------------------------------------------------
+
+
+class _Pending:
+    """One client shape-batch waiting for device results."""
+
+    __slots__ = ("op", "data", "event", "result", "error")
+
+    def __init__(self, op: str, data: np.ndarray):
+        self.op = op
+        self.data = data  # (b, ...) leading axis = shapes in this request
+        self.event = threading.Event()
+        self.result: Optional[np.ndarray] = None
+        self.error: Optional[str] = None
+
+
+class PointServer:
+    """Dynamic-batching TCP front end over an ``InferenceSession``.
+
+    Args:
+      session: the restored model (its ``batch_size`` is the packing limit).
+      host/port: bind address; port 0 picks an ephemeral port (see
+        ``.port`` after ``start()``).
+      max_delay_ms: how long a lone request waits for co-riders before a
+        partial batch dispatches anyway.
+    """
+
+    def __init__(self, session, host: str = "127.0.0.1", port: int = 0,
+                 max_delay_ms: float = 2.0):
+        self._session = session
+        self._host, self._port = host, port
+        self._max_delay = max_delay_ms / 1e3
+        self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = threading.Event()
+        self._sock: Optional[socket.socket] = None
+        self._threads: List[threading.Thread] = []
+        self._lock = threading.Lock()
+        self._stats = {
+            "requests": 0, "shapes": 0, "batches": 0,
+            "batched_shapes": 0, "errors": 0,
+        }
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def start(self) -> "PointServer":
+        self._sock = socket.create_server((self._host, self._port))
+        self._sock.settimeout(0.2)
+        self._port = self._sock.getsockname()[1]
+        for fn in (self._accept_loop, self._batch_loop):
+            t = threading.Thread(target=fn, daemon=True)
+            t.start()
+            self._threads.append(t)
+        return self
+
+    @property
+    def port(self) -> int:
+        return self._port
+
+    def stop(self) -> None:
+        self._stop.set()
+        for t in self._threads:
+            t.join(timeout=5.0)
+        if self._sock is not None:
+            self._sock.close()
+
+    def serve_forever(self) -> None:  # pragma: no cover - CLI convenience
+        try:
+            while not self._stop.is_set():
+                time.sleep(0.5)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            self.stop()
+
+    # -- socket side ----------------------------------------------------------
+
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _addr = self._sock.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            t = threading.Thread(
+                target=self._client_loop, args=(conn,), daemon=True)
+            t.start()
+
+    def _client_loop(self, conn: socket.socket) -> None:
+        with conn:
+            while not self._stop.is_set():
+                try:
+                    header, payload = recv_message(conn)
+                except (ConnectionError, OSError):
+                    return
+                except ValueError as e:
+                    send_message(conn, {"ok": False, "error": str(e)})
+                    return
+                try:
+                    self._handle(conn, header, payload)
+                except (ConnectionError, OSError):
+                    return
+                except Exception as e:  # surface, don't kill the connection
+                    with self._lock:
+                        self._stats["errors"] += 1
+                    send_message(conn, {"ok": False, "error": str(e)})
+
+    def _handle(self, conn, header: dict, payload) -> None:
+        op = header.get("op")
+        if op == "ping":
+            send_message(conn, {"ok": True, "model":
+                                self._session.model_name,
+                                "num_point": self._session.num_point})
+            return
+        if op == "stats":
+            with self._lock:
+                stats = dict(self._stats)
+            if stats["batches"]:
+                stats["mean_batch_occupancy"] = (
+                    stats["batched_shapes"] / stats["batches"])
+            send_message(conn, {"ok": True, "stats": stats})
+            return
+        if op not in ("reconstruct", "embed", "decode"):
+            raise ValueError(f"unknown op {op!r}")
+        if payload is None:
+            raise ValueError("missing payload")
+        data = np.asarray(payload, np.float32)
+        want_ndim = 2 if op == "decode" else 3
+        single = data.ndim == want_ndim - 1
+        if single:
+            data = data[None]
+        if data.ndim != want_ndim:
+            raise ValueError(
+                f"{op}: expected {want_ndim}-D (or single-item) payload, "
+                f"got shape {data.shape}")
+        if op != "decode" and data.shape[1:] != (self._session.num_point, 3):
+            raise ValueError(
+                f"{op}: expected (*, {self._session.num_point}, 3), got "
+                f"{data.shape}")
+        pending = _Pending(op, data)
+        with self._lock:
+            self._stats["requests"] += 1
+            self._stats["shapes"] += data.shape[0]
+        self._queue.put(pending)
+        while not pending.event.wait(timeout=1.0):
+            if self._stop.is_set():
+                pending.error = "server shutting down"
+                break
+        if pending.error is not None:
+            send_message(conn, {"ok": False, "error": pending.error})
+        else:
+            result = pending.result[0] if single else pending.result
+            send_message(conn, {"ok": True}, result)
+
+    # -- device side ----------------------------------------------------------
+
+    def _collect(self) -> List[_Pending]:
+        """Block for one request, then drain same-op co-riders until the
+        compiled batch is full or max_delay_ms elapses."""
+        try:
+            first = self._queue.get(timeout=0.2)
+        except queue.Empty:
+            return []
+        group = [first]
+        total = first.data.shape[0]
+        limit = self._session.batch_size
+        deadline = time.monotonic() + self._max_delay
+        while total < limit:
+            timeout = deadline - time.monotonic()
+            try:
+                nxt = self._queue.get(timeout=max(timeout, 0.0))
+            except queue.Empty:
+                break
+            if nxt.op != first.op:
+                # dispatch the current group; different op goes next round
+                self._queue.put(nxt)
+                break
+            group.append(nxt)
+            total += nxt.data.shape[0]
+        return group
+
+    def _batch_loop(self) -> None:
+        fns = {
+            "reconstruct": self._session.reconstruct,
+            "embed": self._session.embed,
+            "decode": self._session.decode,
+        }
+        while not self._stop.is_set():
+            group = self._collect()
+            if not group:
+                continue
+            packed = np.concatenate([p.data for p in group])
+            with self._lock:
+                self._stats["batches"] += 1
+                self._stats["batched_shapes"] += packed.shape[0]
+            try:
+                out = fns[group[0].op](packed)
+            except Exception as e:
+                for p in group:
+                    p.error = f"{type(e).__name__}: {e}"
+                    p.event.set()
+                continue
+            i = 0
+            for p in group:
+                b = p.data.shape[0]
+                p.result = out[i:i + b]
+                i += b
+                p.event.set()
+        # Shutdown: fail any requests still queued so their socket threads
+        # unblock instead of waiting out their timeout loops.
+        while True:
+            try:
+                p = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            p.error = "server shutting down"
+            p.event.set()
+
+
+# ---------------------------------------------------------------------------
+# Client
+# ---------------------------------------------------------------------------
+
+
+class PointClient:
+    """Blocking client for ``PointServer``; one socket, many requests.
+    Thread-safe via an internal lock (use one client per thread for
+    pipelining -- the server batches across connections)."""
+
+    def __init__(self, host: str, port: int, timeout: float = 60.0):
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._lock = threading.Lock()
+
+    def close(self) -> None:
+        self._sock.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def _call(self, header: dict, payload=None):
+        with self._lock:
+            send_message(self._sock, header, payload)
+            resp, out = recv_message(self._sock)
+        if not resp.get("ok"):
+            raise RuntimeError(resp.get("error", "server error"))
+        return resp, out
+
+    def ping(self) -> dict:
+        resp, _ = self._call({"op": "ping"})
+        return resp
+
+    def stats(self) -> dict:
+        resp, _ = self._call({"op": "stats"})
+        return resp["stats"]
+
+    def reconstruct(self, points) -> np.ndarray:
+        _, out = self._call({"op": "reconstruct"},
+                            np.asarray(points, np.float32))
+        return out
+
+    def embed(self, points) -> np.ndarray:
+        _, out = self._call({"op": "embed"}, np.asarray(points, np.float32))
+        return out
+
+    def decode(self, embeddings) -> np.ndarray:
+        _, out = self._call({"op": "decode"},
+                            np.asarray(embeddings, np.float32))
+        return out

@@ -1,0 +1,143 @@
+"""Dynamic-batching serving: protocol round trip, coalescing, errors."""
+
+import json
+import os
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+
+from pointnet_autoencoder_tpu.inference import InferenceSession
+from pointnet_autoencoder_tpu.models.registry import get_model_spec
+from pointnet_autoencoder_tpu.serve import PointClient, PointServer
+from pointnet_autoencoder_tpu.train.checkpoint import CheckpointManager
+
+NUM_POINT = 64
+
+
+@pytest.fixture(scope="module")
+def session(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve")
+    spec = get_model_spec("model")
+    _, variables = spec.init_variables(jax.random.PRNGKey(0), NUM_POINT)
+    bundle = os.path.join(str(tmp), "bundle")
+    os.makedirs(bundle)
+    mgr = CheckpointManager(str(tmp))
+    mgr.save_tree(os.path.join(bundle, "variables.ckpt"),
+                  jax.device_get(variables))
+    with open(os.path.join(bundle, "bundle_meta.json"), "w") as f:
+        json.dump({"format": "pcae-bundle-v1", "model": "model",
+                   "num_point": NUM_POINT}, f)
+    return InferenceSession.from_bundle(bundle, batch_size=4)
+
+
+@pytest.fixture()
+def server(session):
+    srv = PointServer(session, port=0, max_delay_ms=1.0).start()
+    yield srv
+    srv.stop()
+
+
+def _clouds(n, seed=0):
+    return np.random.RandomState(seed).randn(
+        n, NUM_POINT, 3).astype(np.float32)
+
+
+def test_roundtrip_matches_direct_session(server, session):
+    with PointClient("127.0.0.1", server.port) as c:
+        info = c.ping()
+        assert info["model"] == "model" and info["num_point"] == NUM_POINT
+
+        pts = _clouds(3)
+        np.testing.assert_allclose(
+            c.reconstruct(pts), session.reconstruct(pts), rtol=1e-6)
+        np.testing.assert_allclose(
+            c.embed(pts), session.embed(pts), rtol=1e-6)
+        # single-shape (N, 3) form keeps its rank
+        one = c.reconstruct(pts[0])
+        assert one.shape == (NUM_POINT, 3)
+        np.testing.assert_allclose(one, session.reconstruct(pts[0]),
+                                   rtol=1e-6)
+        # decode(embed(x)) == reconstruct(x)
+        np.testing.assert_allclose(
+            c.decode(c.embed(pts)), c.reconstruct(pts), rtol=1e-6)
+
+
+def test_concurrent_requests_are_batched(session):
+    srv = PointServer(session, port=0, max_delay_ms=250.0).start()
+    try:
+        pts = _clouds(4, seed=1)
+        want = session.reconstruct(pts)
+        results = [None] * 4
+        barrier = threading.Barrier(4)
+
+        def worker(i):
+            with PointClient("127.0.0.1", srv.port) as c:
+                barrier.wait()
+                results[i] = c.reconstruct(pts[i])
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        for i in range(4):
+            np.testing.assert_allclose(results[i], want[i], rtol=1e-6)
+
+        with PointClient("127.0.0.1", srv.port) as c:
+            stats = c.stats()
+        assert stats["requests"] == 4
+        # 4 co-arriving singles inside a 250 ms window must coalesce
+        assert stats["batches"] < 4
+        assert stats["mean_batch_occupancy"] > 1.0
+    finally:
+        srv.stop()
+
+
+def test_errors_keep_connection_alive(server, session):
+    with PointClient("127.0.0.1", server.port) as c:
+        with pytest.raises(RuntimeError, match="expected"):
+            c.reconstruct(np.zeros((2, NUM_POINT + 1, 3), np.float32))
+        from pointnet_autoencoder_tpu.serve import recv_message, send_message
+
+        send_message(c._sock, {"op": "nonsense"})
+        resp, _ = recv_message(c._sock)
+        assert not resp["ok"] and "unknown op" in resp["error"]
+        # connection still serves after both errors
+        pts = _clouds(1, seed=2)
+        np.testing.assert_allclose(
+            c.reconstruct(pts), session.reconstruct(pts), rtol=1e-6)
+
+
+def test_mixed_ops_group_correctly(server, session):
+    pts = _clouds(2, seed=3)
+    out = {}
+
+    def rec():
+        with PointClient("127.0.0.1", server.port) as c:
+            out["rec"] = c.reconstruct(pts)
+
+    def emb():
+        with PointClient("127.0.0.1", server.port) as c:
+            out["emb"] = c.embed(pts)
+
+    threads = [threading.Thread(target=f) for f in (rec, emb)] * 1
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    np.testing.assert_allclose(out["rec"], session.reconstruct(pts),
+                               rtol=1e-6)
+    np.testing.assert_allclose(out["emb"], session.embed(pts), rtol=1e-6)
+
+
+def test_oversized_request_splits_across_batches(server, session):
+    # 7 shapes > compiled batch 4: the session splits internally; results
+    # must still be exact and in order.
+    pts = _clouds(7, seed=4)
+    with PointClient("127.0.0.1", server.port) as c:
+        np.testing.assert_allclose(
+            c.reconstruct(pts), session.reconstruct(pts), rtol=1e-6)
