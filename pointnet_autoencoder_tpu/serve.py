@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import json
 import queue
+import select
 import socket
 import struct
 import threading
@@ -197,6 +198,12 @@ class PointServer:
     def _client_loop(self, conn: socket.socket) -> None:
         with conn:
             while not self._stop.is_set():
+                # Poll for the next frame so idle connections observe
+                # shutdown; once a frame starts, reads block to completion
+                # (a read timeout mid-frame would desync the stream).
+                readable, _, _ = select.select([conn], [], [], 0.5)
+                if not readable:
+                    continue
                 try:
                     header, payload = recv_message(conn)
                 except (ConnectionError, OSError):
