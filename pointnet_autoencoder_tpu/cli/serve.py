@@ -32,6 +32,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="How long a partial batch waits for co-riders")
     p.add_argument("--data_parallel", type=int, default=None,
                    help="Shard server batches over N devices")
+    p.add_argument("--pipeline_parallel", action="store_true",
+                   help="Two-stage encoder|decoder pipeline on the first "
+                        "two devices (parallel/pp.py); exclusive with "
+                        "--data_parallel")
+    p.add_argument("--num_microbatches", type=int, default=4,
+                   help="Microbatches per batch under --pipeline_parallel")
     return p
 
 
@@ -50,6 +56,14 @@ def main(argv=None):
         session = InferenceSession(
             args.model, args.model_path, args.num_point,
             batch_size=args.batch_size, data_parallel=args.data_parallel)
+    if args.pipeline_parallel:
+        if args.data_parallel:
+            raise SystemExit(
+                "--pipeline_parallel is exclusive with --data_parallel")
+        from pointnet_autoencoder_tpu.parallel.pp import PipelinedSession
+
+        session = PipelinedSession(
+            session, num_microbatches=args.num_microbatches)
     server = PointServer(session, host=args.host, port=args.port,
                          max_delay_ms=args.max_delay_ms).start()
     print(f"serving {session.model_name} (num_point={session.num_point}, "

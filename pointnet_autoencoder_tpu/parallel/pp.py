@@ -105,6 +105,7 @@ class PipelinedSession:
             )
         self.num_point = model.num_point
         self.batch_size = session.batch_size
+        self.model_name = session.model_name
         self._mb = session.batch_size // num_microbatches
         self._dev0, self._dev1 = devices
 
@@ -135,9 +136,7 @@ class PipelinedSession:
         self._enc_jit = jax.jit(enc_fn)
         self._dec_jit = jax.jit(dec_fn)
 
-    def reconstruct(self, points) -> np.ndarray:
-        """(B, N, 3) or (N, 3) -> reconstruction(s), exactly equal to the
-        wrapped session's unpipelined forward."""
+    def _check_points(self, points) -> Tuple[np.ndarray, bool]:
         pts = np.asarray(points, np.float32)
         single = pts.ndim == 2
         if single:
@@ -146,24 +145,56 @@ class PipelinedSession:
             raise ValueError(
                 f"expected (*, {self.num_point}, 3), got {pts.shape}"
             )
-        n, mb = pts.shape[0], self._mb
-        if n == 0:
+        if pts.shape[0] == 0:
             raise ValueError("got 0 input shapes")
-        preds = []
-        for s in range(0, n, mb):
-            chunk = pts[s:s + mb]
+        return pts, single
+
+    def _microbatched(self, run, arr: np.ndarray) -> np.ndarray:
+        """Stream arr through ``run`` in microbatch chunks; all dispatches
+        are async, so stage 0 of chunk i+1 overlaps stage 1 of chunk i."""
+        mb = self._mb
+        outs = []
+        for s in range(0, arr.shape[0], mb):
+            chunk = arr[s:s + mb]
             pad = mb - chunk.shape[0]
             if pad:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)]
                 )
-            # All three dispatches are async: while stage 1 runs
-            # microbatch i, stage 0 is already on microbatch i+1.
-            feat = self._enc_jit(self._enc_vars,
-                                 jax.device_put(chunk, self._dev0))
-            feat = jax.device_put(feat, self._dev1)  # the stage hop
-            preds.append((self._dec_jit(self._dec_vars, feat), pad))
-        out = np.concatenate(
-            [np.asarray(p)[:mb - pad] for p, pad in preds]
-        )
+            outs.append((run(chunk), pad))
+        return np.concatenate([np.asarray(o)[:mb - pad] for o, pad in outs])
+
+    def _full_forward(self, chunk: np.ndarray):
+        feat = self._enc_jit(self._enc_vars,
+                             jax.device_put(chunk, self._dev0))
+        feat = jax.device_put(feat, self._dev1)  # the stage hop
+        return self._dec_jit(self._dec_vars, feat)
+
+    def reconstruct(self, points) -> np.ndarray:
+        """(B, N, 3) or (N, 3) -> reconstruction(s), exactly equal to the
+        wrapped session's unpipelined forward."""
+        pts, single = self._check_points(points)
+        out = self._microbatched(self._full_forward, pts)
+        return out[0] if single else out
+
+    def embed(self, points) -> np.ndarray:
+        """(B, N, 3) or (N, 3) -> embedding(s): stage 0 alone."""
+        pts, single = self._check_points(points)
+        out = self._microbatched(
+            lambda c: self._enc_jit(self._enc_vars,
+                                    jax.device_put(c, self._dev0)), pts)
+        return out[0] if single else out
+
+    def decode(self, embeddings) -> np.ndarray:
+        """(B, D) or (D,) latent(s) -> decoded cloud(s): stage 1 alone."""
+        emb = np.asarray(embeddings, np.float32)
+        single = emb.ndim == 1
+        if single:
+            emb = emb[None]
+        if emb.ndim != 2 or emb.shape[0] == 0:
+            raise ValueError(f"expected nonempty (B, D) or (D,), "
+                             f"got {emb.shape}")
+        out = self._microbatched(
+            lambda c: self._dec_jit(self._dec_vars,
+                                    jax.device_put(c, self._dev1)), emb)
         return out[0] if single else out

@@ -148,6 +148,12 @@ def test_pipelined_session_matches_unpipelined(trained):
                                ref.reconstruct(batch[0]),
                                rtol=1e-5, atol=1e-6)
 
+    # Stage-only surfaces: embed runs stage 0 alone, decode stage 1 alone.
+    emb = pp.embed(batch)
+    np.testing.assert_allclose(emb, ref.embed(batch), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(pp.decode(emb), ref.decode(emb),
+                               rtol=1e-5, atol=1e-6)
+
     with pytest.raises(ValueError, match="divide"):
         PipelinedSession(ref, num_microbatches=3)
     with pytest.raises(ValueError, match="2 stage devices"):

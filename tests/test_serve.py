@@ -134,6 +134,30 @@ def test_mixed_ops_group_correctly(server, session):
     np.testing.assert_allclose(out["emb"], session.embed(pts), rtol=1e-6)
 
 
+def test_server_over_pipelined_session(session):
+    """PointServer accepts the 2-stage pipeline-parallel session (what
+    cli.serve --pipeline_parallel builds): results equal the unpipelined
+    session across all three ops."""
+    from pointnet_autoencoder_tpu.parallel.pp import PipelinedSession
+
+    pp = PipelinedSession(session, num_microbatches=2)
+    srv = PointServer(pp, port=0, max_delay_ms=1.0).start()
+    try:
+        with PointClient("127.0.0.1", srv.port) as c:
+            assert c.ping()["model"] == "model"
+            pts = _clouds(3, seed=5)
+            np.testing.assert_allclose(
+                c.reconstruct(pts), session.reconstruct(pts),
+                rtol=1e-5, atol=1e-6)
+            emb = c.embed(pts)
+            np.testing.assert_allclose(emb, session.embed(pts),
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(c.decode(emb), session.decode(emb),
+                                       rtol=1e-5, atol=1e-6)
+    finally:
+        srv.stop()
+
+
 def test_oversized_request_splits_across_batches(server, session):
     # 7 shapes > compiled batch 4: the session splits internally; results
     # must still be exact and in order.
