@@ -27,7 +27,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_point", type=int, default=2048)
     p.add_argument("--batch_size", type=int, default=32,
                    help="Compiled batch size for the restore-side forward")
-    p.add_argument("--out", required=True, help="Bundle output directory")
+    p.add_argument("--out", required=True,
+                   help="Bundle output directory (or .npz path with "
+                        "--format reference_npz)")
+    p.add_argument("--format", default="bundle",
+                   choices=("bundle", "reference_npz"),
+                   help="bundle: orbax serving bundle (default). "
+                        "reference_npz: a flat numpy archive keyed by the "
+                        "REFERENCE stack's variable names (conv2d/deconv "
+                        "kernel layouts restored) -- portable to any "
+                        "framework, re-importable via cli.import_tf, and "
+                        "Saver-writable for the reference's test.py")
     return p
 
 
@@ -37,6 +47,18 @@ def main(argv=None) -> str:
 
     sess = InferenceSession(args.model, args.model_path, args.num_point,
                             batch_size=args.batch_size)
+    if args.format == "reference_npz":
+        import jax
+        import numpy as np
+
+        from pointnet_autoencoder_tpu.tf_import import export_reference_arrays
+
+        arrays = export_reference_arrays(jax.device_get(sess.variables))
+        out = args.out if args.out.endswith(".npz") else args.out + ".npz"
+        np.savez(out, **arrays)
+        print(f"reference-named weights ({len(arrays)} arrays) written "
+              f"to {out}")
+        return out
     out = sess.export_bundle(args.out)
     print(f"serving bundle written to {out}")
     return out

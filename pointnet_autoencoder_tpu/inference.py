@@ -195,6 +195,11 @@ class InferenceSession:
             "batch_stats": restored["state"].batch_stats,
         }
 
+    @property
+    def variables(self):
+        """The restored inference variables ({params, batch_stats})."""
+        return self._variables
+
     # -- serving bundles ------------------------------------------------------
 
     def export_bundle(self, out_dir: str) -> str:

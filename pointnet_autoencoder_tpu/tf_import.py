@@ -267,6 +267,60 @@ def classify_skipped(skipped: List[str]) -> Tuple[List[str], List[str]]:
 
 
 # ---------------------------------------------------------------------------
+# Reverse direction: flax tree -> reference-named arrays
+# ---------------------------------------------------------------------------
+
+
+def export_reference_arrays(variables) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`map_reference_variables`: emit this framework's
+    {params, batch_stats} tree as a flat dict keyed by the REFERENCE
+    stack's variable names (conv2d weights restored to their 4-D pseudo-
+    image layout, conv2d_transpose kernels flipped/swapped back, BN
+    moving stats as moving_mean/moving_variance).
+
+    Uses pointwise (1,1,cin,cout) conv kernels except conv1, whose
+    reference kernel is (1,3,1,cout) over the (B,N,3,1) pseudo-image
+    (models/model.py:43-47); both flatten back identically, so the
+    round trip import(export(tree)) == tree exactly. Save with
+    ``np.savez(path, **arrays)`` for cli.import_tf's npz reader (or feed
+    a TF Saver to produce a reference-stack checkpoint)."""
+    out: Dict[str, np.ndarray] = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(
+            variables["params"])[0]:
+        keys = tuple(k.key for k in path)
+        scope = _ref_scope(keys)
+        kind, var = keys[-2], keys[-1]
+        arr = np.asarray(leaf, np.float32)
+        if kind == "dense" and var == "kernel":
+            cin, cout = arr.shape
+            if keys[:2] == ("encoder", "conv1"):
+                out[f"{scope}/weights"] = arr.reshape(1, cin, 1, cout)
+            elif keys[0] == "encoder":
+                out[f"{scope}/weights"] = arr.reshape(1, 1, cin, cout)
+            elif scope.startswith("fc_conv"):  # hierarchy conv1d stages
+                out[f"{scope}/weights"] = arr.reshape(1, cin, cout)
+            else:
+                out[f"{scope}/weights"] = arr
+        elif kind == "convt" and var == "kernel":
+            # (kh, kw, cin, cout) -> reference (kh, kw, cout, cin)
+            out[f"{scope}/weights"] = np.ascontiguousarray(
+                np.transpose(arr[::-1, ::-1], (0, 1, 3, 2)))
+        elif var == "bias":
+            out[f"{scope}/biases"] = arr
+        elif kind == "bn" and var in ("beta", "gamma"):
+            out[f"{scope}/bn/{var}"] = arr
+        else:
+            raise TFImportError(f"no export rule for leaf {keys}")
+    for path, leaf in jax.tree_util.tree_flatten_with_path(
+            variables.get("batch_stats", {}))[0]:
+        keys = tuple(k.key for k in path)
+        scope = _ref_scope(keys)
+        name = {"mean": "moving_mean", "var": "moving_variance"}[keys[-1]]
+        out[f"{scope}/bn/{name}"] = np.asarray(leaf, np.float32)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Entry point
 # ---------------------------------------------------------------------------
 

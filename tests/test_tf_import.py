@@ -383,6 +383,64 @@ def test_bundle_roundtrip_serves(tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("model,num_point", [
+    ("model", 256), ("model_upconv", 2048), ("model_hierachy", 128),
+])
+def test_export_import_roundtrip(tmp_path, model, num_point):
+    """export_reference_arrays is the exact inverse of the importer for
+    every layer kind (dense, conv1-style, conv1d, conv2d_transpose, BN)."""
+    spec = get_model_spec(model)
+    _, variables = spec.init_variables(jax.random.PRNGKey(1), num_point)
+    arrays = tf_import.export_reference_arrays(
+        jax.tree_util.tree_map(np.asarray, variables))
+    path = os.path.join(str(tmp_path), "export.npz")
+    np.savez(path, **arrays)
+    tree, report = tf_import.import_reference_checkpoint(
+        model, path, num_point)
+    assert report["unmapped"] == []
+    flat_a = jax.tree_util.tree_leaves_with_path(variables)
+    flat_b = jax.tree_util.tree_leaves_with_path(tree)
+    assert len(flat_a) == len(flat_b)
+    for (pa, a), (pb, b) in zip(sorted(flat_a, key=lambda x: str(x[0])),
+                                sorted(flat_b, key=lambda x: str(x[0]))):
+        assert str(pa) == str(pb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(pa))
+
+
+def test_export_cli_reference_npz(tmp_path):
+    """cli.export --format reference_npz emits importer-compatible names
+    from a real training checkpoint directory."""
+    from pointnet_autoencoder_tpu.cli import export as export_cli
+    from pointnet_autoencoder_tpu.train.checkpoint import CheckpointManager
+    from pointnet_autoencoder_tpu.train.state import TrainState, make_optimizer
+
+    num_point = 256
+    spec = get_model_spec("model")
+    _, variables = spec.init_variables(jax.random.PRNGKey(2), num_point)
+    tx = make_optimizer("adam", lambda s: 1e-3)
+    mgr = CheckpointManager(str(tmp_path))
+    ckpt = mgr.save_periodic({
+        "state": TrainState.create(variables, tx), "epoch": 0,
+        "best_loss": 1.0,
+    })
+    out = export_cli.main([
+        "--model", "model", "--model_path", ckpt,
+        "--num_point", str(num_point), "--format", "reference_npz",
+        "--out", os.path.join(str(tmp_path), "weights"),
+    ])
+    assert out.endswith(".npz")
+    names = set(np.load(out).files)
+    assert "conv1/weights" in names and "fc3/biases" in names
+    assert "conv5/bn/moving_variance" in names
+    tree, report = tf_import.import_reference_checkpoint(
+        "model", out, num_point)
+    assert report["unmapped"] == []
+    np.testing.assert_array_equal(
+        np.asarray(tree["params"]["decoder"]["fc3"]["dense"]["kernel"]),
+        np.asarray(variables["params"]["decoder"]["fc3"]["dense"]["kernel"]))
+
+
 def test_cli_dry_run(tmp_path, capsys):
     from pointnet_autoencoder_tpu.cli import import_tf as cli
 
