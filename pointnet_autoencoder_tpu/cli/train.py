@@ -7,7 +7,7 @@ Reference flags preserved (train.py:20-34); --gpu is accepted for
 reference-CLI compatibility but has no effect -- device selection on TPU
 is the runtime's job and the mesh spans all visible devices (use
 --data_parallel to bound it). TPU-build additions: --data_path, --resume,
---seed, --data_parallel, --bf16, --profile_dir, --lr_floor.
+--seed, --data_parallel, --bf16, --bf16_params, --profile_dir, --lr_floor.
 """
 
 from __future__ import annotations
@@ -70,6 +70,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default=d.bf16,
                    help="bfloat16 matmuls in the network (default on; "
                         "--no-bf16 restores f32; losses/BN always f32)")
+    p.add_argument("--bf16_params", action="store_true",
+                   default=d.bf16_params,
+                   help="Store matmul MASTER weights in bf16; f32 Adam "
+                        "updates applied with stochastic rounding "
+                        "(halves parameter HBM traffic; BN/optimizer "
+                        "state stay f32; see docs/ARCHITECTURE.md)")
     p.add_argument("--profile_dir", default=None,
                    help="Write a jax.profiler trace of the first epoch here")
     p.add_argument("--lr_floor", type=float, default=None,
@@ -98,6 +104,7 @@ def config_from_args(args) -> TrainConfig:
         input_mode=args.input_mode, resume=args.resume, seed=args.seed,
         data_parallel=args.data_parallel,
         model_parallel=args.model_parallel, bf16=args.bf16,
+        bf16_params=args.bf16_params,
         profile_dir=args.profile_dir, lr_floor=args.lr_floor,
         log_every=args.log_every, eval_only=args.eval_only,
         cache_dir=args.cache_dir,

@@ -43,6 +43,11 @@ class TrainConfig:
                                   # faster; converges identically to f32 --
                                   # see docs/ARCHITECTURE.md; --no-bf16
                                   # restores f32 everywhere)
+    bf16_params: bool = False     # store matmul MASTER weights in bf16 and
+                                  # apply f32 Adam updates with stochastic
+                                  # rounding (train/master.py); halves
+                                  # parameter HBM traffic. Opt-in; measured
+                                  # numbers in docs/ARCHITECTURE.md
     profile_dir: Optional[str] = None    # jax.profiler trace output
     lr_floor: Optional[float] = None     # reference's intended-but-dead clamp
     eval_only: bool = False

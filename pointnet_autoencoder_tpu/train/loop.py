@@ -39,14 +39,15 @@ from pointnet_autoencoder_tpu.models.autoencoder import ModelSpec
 from pointnet_autoencoder_tpu.models.registry import get_model_spec
 from pointnet_autoencoder_tpu.parallel import mesh as meshlib
 from pointnet_autoencoder_tpu.parallel import tp
-from pointnet_autoencoder_tpu.train import schedules
+from pointnet_autoencoder_tpu.train import master, schedules
 from pointnet_autoencoder_tpu.train.checkpoint import CheckpointManager
 from pointnet_autoencoder_tpu.train.logging import Logger, snapshot_config
 from pointnet_autoencoder_tpu.train.state import TrainState, make_optimizer
 
 
 def make_step_fns(model, spec: ModelSpec, tx, bn_schedule: Callable,
-                  lr_schedule: Callable, pred_sharding=None):
+                  lr_schedule: Callable, pred_sharding=None,
+                  stochastic_round: bool = False):
     """Builds (train_step, eval_step). Pure functions of (state, batch);
     the autoencoder's label is the (augmented) input batch itself
     (train.py:202-204).
@@ -56,6 +57,9 @@ def make_step_fns(model, spec: ModelSpec, tx, bn_schedule: Callable,
     leaves ``pred`` sharded along the point axis of the 'model' mesh axis;
     the loss kernels run batch-sharded, so the Trainer passes the batch
     sharding here and GSPMD places the TP all-gather exactly at this seam.
+
+    ``stochastic_round``: apply optimizer updates to bf16 master params
+    with stochastic rounding (train/master.py; the --bf16_params mode).
     """
 
     def constrain(pred):
@@ -79,7 +83,11 @@ def make_step_fns(model, spec: ModelSpec, tx, bn_schedule: Callable,
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (metrics, new_stats)), grads = grad_fn(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        if stochastic_round:
+            new_params = master.apply_updates_sr(state.params, updates,
+                                                 state.step)
+        else:
+            new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,
@@ -176,6 +184,13 @@ class Trainer:
         bn = schedules.bn_momentum_schedule(config.batch_size,
                                             config.decay_step)
         self.tx = make_optimizer(config.optimizer, lr, config.momentum)
+        if config.bf16_params:
+            # bf16 master weights: matmul params stored bf16, optimizer
+            # state/arithmetic still f32, updates applied with stochastic
+            # rounding (train/master.py).
+            variables = dict(variables)
+            variables["params"] = master.cast_master_bf16(variables["params"])
+            self.tx = master.f32_math(self.tx)
         # tp.shard_state places decoder FC weights over the 'model' axis
         # (identical to plain replication when model_parallel == 1).
         self.state = tp.shard_state(
@@ -184,6 +199,7 @@ class Trainer:
 
         train_step, eval_step = make_step_fns(
             self.model, self.spec, self.tx, bn, lr,
+            stochastic_round=config.bf16_params,
             # Under TP the decoder output is point-sharded over 'model';
             # gather it to the loss kernels' batch sharding at the seam.
             pred_sharding=(batch_sharding
