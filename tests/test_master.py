@@ -207,6 +207,27 @@ def test_trainer_bf16_params_end_to_end(fixture_root, tmp_path):
     trainer2.close()
 
 
+def test_bf16_params_composes_with_model_parallel(fixture_root, tmp_path):
+    """--bf16_params on a 4dp x 2tp mesh: bf16 decoder weights shard over
+    the 'model' axis and one epoch trains to a finite loss."""
+    from jax.sharding import PartitionSpec as P
+
+    from pointnet_autoencoder_tpu.train.loop import Trainer
+
+    cfg = TrainConfig(
+        model="model", category="Chair", log_dir=str(tmp_path / "log_tp"),
+        num_point=64, max_epoch=1, batch_size=8, data_path=fixture_root,
+        seed=0, log_every=10, bf16_params=True,
+        data_parallel=4, model_parallel=2,
+    )
+    trainer = Trainer(cfg)
+    fc1 = trainer.state.params["decoder"]["fc1"]["dense"]["kernel"]
+    assert fc1.dtype == jnp.bfloat16
+    assert fc1.sharding.spec == P(None, "model")  # column-sharded bf16 leaf
+    best = trainer.train()
+    assert np.isfinite(best)
+
+
 def test_bf16_params_losses_comparable_to_f32_master(fixture_root, tmp_path):
     """Same seed, same data: after two epochs the bf16-master run's eval
     loss lands in the same regime as the f32-master run (the weights only
