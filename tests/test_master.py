@@ -60,6 +60,24 @@ def test_sr_unbiased_between_neighbors():
     assert abs(mean - expect) < 0.02 * step
 
 
+def test_sr_negative_symmetry_and_neighbor_bound():
+    # Sign lives outside the magnitude bits the noise perturbs, so
+    # sr(-x, key) == -sr(x, key) bit-for-bit; and for any finite x the
+    # result is one of x's two enclosing bf16 neighbors.
+    x = jax.random.normal(jax.random.PRNGKey(7), (4096,), jnp.float32) * 3.0
+    key = jax.random.PRNGKey(11)
+    up = np.asarray(master.stochastic_round_bf16(x, key), np.float32)
+    dn = np.asarray(master.stochastic_round_bf16(-x, key), np.float32)
+    np.testing.assert_array_equal(up, -dn)
+    xf = np.asarray(x, np.float32)
+    # Neighbor bound: |sr(x) - x| <= one bf16 ulp at x (conservative form
+    # |bf16(x)| * 2^-7, which upper-bounds the true ulp in every binade).
+    ulp = np.abs(
+        np.asarray(jnp.asarray(xf, jnp.bfloat16), np.float32)
+    ) * 2.0 ** -7 + 1e-45
+    assert np.all(np.abs(up - xf) <= ulp * 1.0000001)
+
+
 def test_sr_nonfinite_guard():
     x = jnp.asarray([jnp.inf, -jnp.inf, jnp.nan, 1.0], jnp.float32)
     out = np.asarray(master.stochastic_round_bf16(x, jax.random.PRNGKey(0)),
