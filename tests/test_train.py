@@ -185,6 +185,30 @@ def test_trainer_host_input_mode(fixture_root, tmp_path):
     assert np.isfinite(best)
 
 
+def test_trainer_deterministic_across_runs(fixture_root, tmp_path):
+    """Reproducibility is a feature: two Trainers with the same config and
+    seed produce bitwise-identical training scalars (seeded numpy shuffle +
+    JAX PRNG + XLA determinism; the reference makes no such guarantee)."""
+    import json
+
+    from pointnet_autoencoder_tpu.train.loop import Trainer
+
+    losses = []
+    for run in range(2):
+        log_dir = str(tmp_path / f"log_{run}")
+        cfg = TrainConfig(
+            model="model", category="Chair", log_dir=log_dir, num_point=64,
+            max_epoch=1, batch_size=8, data_path=fixture_root, seed=7,
+            log_every=1,
+        )
+        Trainer(cfg).train()
+        with open(os.path.join(log_dir, "scalars.jsonl")) as f:
+            losses.append([json.loads(l)["loss"] for l in f
+                           if '"train"' in l])
+    assert len(losses[0]) > 0
+    assert losses[0] == losses[1]
+
+
 def test_trainer_warns_on_zero_batch_epoch(fixture_root, tmp_path):
     """batch_size > dataset makes every epoch a reference-semantics no-op
     (len//batch == 0); the trainer must say so instead of silently idling."""
