@@ -65,7 +65,10 @@ def main(argv=None):
         session = PipelinedSession(
             session, num_microbatches=args.num_microbatches)
     server = PointServer(session, host=args.host, port=args.port,
-                         max_delay_ms=args.max_delay_ms).start()
+                         max_delay_ms=args.max_delay_ms)
+    print("warming up compiled programs (first compile can take minutes "
+          "on a cold backend)...", flush=True)
+    server.start()  # warmup runs before the socket binds
     print(f"serving {session.model_name} (num_point={session.num_point}, "
           f"batch={args.batch_size}) on {args.host}:{server.port}",
           flush=True)

@@ -151,7 +151,9 @@ class PointServer:
 
     # -- lifecycle ----------------------------------------------------------
 
-    def start(self) -> "PointServer":
+    def start(self, warmup: bool = True) -> "PointServer":
+        if warmup:
+            self.warmup()
         self._sock = socket.create_server((self._host, self._port))
         self._sock.settimeout(0.2)
         self._port = self._sock.getsockname()[1]
@@ -160,6 +162,19 @@ class PointServer:
             t.start()
             self._threads.append(t)
         return self
+
+    def warmup(self) -> None:
+        """Compile-and-execute every served program before accepting
+        traffic. The first execution of a jitted program compiles (tens of
+        seconds to minutes on a cold backend); without this, every client
+        whose request lands in the first batch waits out the compile and
+        times out -- observed live: 4 concurrent full-batch clients with
+        the default 60 s timeout all failed against a cold server whose
+        first dispatch compiled for longer than that."""
+        dummy = np.zeros((1, self._session.num_point, 3), np.float32)
+        self._session.reconstruct(dummy)
+        emb = self._session.embed(dummy)
+        self._session.decode(emb)
 
     @property
     def port(self) -> int:

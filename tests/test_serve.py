@@ -165,3 +165,46 @@ def test_oversized_request_splits_across_batches(server, session):
     with PointClient("127.0.0.1", server.port) as c:
         np.testing.assert_allclose(
             c.reconstruct(pts), session.reconstruct(pts), rtol=1e-6)
+
+
+def test_start_warms_all_served_programs():
+    """start() must compile-and-execute every served program BEFORE the
+    socket accepts traffic: against a cold backend the first dispatch
+    compiles for longer than the default client timeout, so an unwarmed
+    server times out every client whose request lands in the first batch
+    (observed live on the TPU tunnel -- serve.py:warmup docstring)."""
+
+    calls = []
+
+    class StubSession:
+        batch_size = 4
+        num_point = NUM_POINT
+        model_name = "model"
+
+        def reconstruct(self, pts):
+            calls.append(("reconstruct", np.asarray(pts).shape))
+            return np.zeros_like(np.asarray(pts))
+
+        def embed(self, pts):
+            calls.append(("embed", np.asarray(pts).shape))
+            return np.zeros((np.asarray(pts).shape[0], 16), np.float32)
+
+        def decode(self, emb):
+            calls.append(("decode", np.asarray(emb).shape))
+            return np.zeros((np.asarray(emb).shape[0], NUM_POINT, 3),
+                            np.float32)
+
+    srv = PointServer(StubSession(), port=0)
+    srv.start()
+    try:
+        assert [op for op, _ in calls] == ["reconstruct", "embed", "decode"]
+    finally:
+        srv.stop()
+
+    calls.clear()
+    srv2 = PointServer(StubSession(), port=0)
+    srv2.start(warmup=False)
+    try:
+        assert calls == []
+    finally:
+        srv2.stop()
