@@ -46,6 +46,7 @@ Protocol:
 
 from __future__ import annotations
 
+import itertools
 import json
 import queue
 import select
@@ -113,11 +114,14 @@ def recv_message(sock: socket.socket) -> Tuple[dict, Optional[np.ndarray]]:
 class _Pending:
     """One client shape-batch waiting for device results."""
 
-    __slots__ = ("op", "data", "event", "result", "error")
+    __slots__ = ("op", "data", "seq", "event", "result", "error")
+
+    _seq_counter = itertools.count()
 
     def __init__(self, op: str, data: np.ndarray):
         self.op = op
         self.data = data  # (b, ...) leading axis = shapes in this request
+        self.seq = next(self._seq_counter)  # arrival order across all ops
         self.event = threading.Event()
         self.result: Optional[np.ndarray] = None
         self.error: Optional[str] = None
@@ -140,6 +144,9 @@ class PointServer:
         self._host, self._port = host, port
         self._max_delay = max_delay_ms / 1e3
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        # Per-op pending lists, owned exclusively by the batcher thread;
+        # the inbox queue is the only cross-thread handoff.
+        self._pending_by_op: dict = {}
         self._stop = threading.Event()
         self._sock: Optional[socket.socket] = None
         self._threads: List[threading.Thread] = []
@@ -284,29 +291,51 @@ class PointServer:
 
     # -- device side ----------------------------------------------------------
 
-    def _collect(self) -> List[_Pending]:
-        """Block for one request, then drain same-op co-riders until the
-        compiled batch is full or max_delay_ms elapses."""
+    def _route_inbox(self, timeout: float) -> bool:
+        """Move one inbox arrival (waiting up to ``timeout``) plus any
+        others already queued into the per-op pending lists. Returns
+        whether anything arrived. Batcher thread only."""
         try:
-            first = self._queue.get(timeout=0.2)
+            item = self._queue.get(timeout=timeout) if timeout > 0.0 \
+                else self._queue.get_nowait()
         except queue.Empty:
-            return []
-        group = [first]
-        total = first.data.shape[0]
-        limit = self._session.batch_size
-        deadline = time.monotonic() + self._max_delay
-        while total < limit:
-            timeout = deadline - time.monotonic()
+            return False
+        while True:
+            self._pending_by_op.setdefault(item.op, []).append(item)
             try:
-                nxt = self._queue.get(timeout=max(timeout, 0.0))
+                item = self._queue.get_nowait()
             except queue.Empty:
+                return True
+
+    def _collect(self) -> List[_Pending]:
+        """Assemble one same-op batch. Requests sort into per-op pending
+        lists as they arrive, so interleaved ops batch with their own
+        kind instead of splitting a group at every op boundary (a single
+        FIFO degrades to occupancy ~1 under a strict reconstruct/embed
+        interleave); across ops, the op whose head request arrived first
+        dispatches first (no starvation). Once a group starts, waits up
+        to max_delay_ms for same-op co-riders."""
+        if not any(self._pending_by_op.values()):
+            if not self._route_inbox(timeout=0.2):
+                return []
+        op = min((o for o, q in self._pending_by_op.items() if q),
+                 key=lambda o: self._pending_by_op[o][0].seq)
+        pend = self._pending_by_op[op]
+        limit = self._session.batch_size
+        group: List[_Pending] = []
+        total = 0
+        deadline = time.monotonic() + self._max_delay
+        while True:
+            while pend and total < limit:
+                group.append(pend.pop(0))
+                total += group[-1].data.shape[0]
+            if total >= limit:
                 break
-            if nxt.op != first.op:
-                # dispatch the current group; different op goes next round
-                self._queue.put(nxt)
+            timeout = deadline - time.monotonic()
+            # Arrivals only land via the inbox; block on it for the rest
+            # of the straggler window (or bail if nothing shows up).
+            if timeout <= 0.0 or not self._route_inbox(timeout=timeout):
                 break
-            group.append(nxt)
-            total += nxt.data.shape[0]
         return group
 
     def _batch_loop(self) -> None:
@@ -336,13 +365,17 @@ class PointServer:
                 p.result = out[i:i + b]
                 i += b
                 p.event.set()
-        # Shutdown: fail any requests still queued so their socket threads
-        # unblock instead of waiting out their timeout loops.
+        # Shutdown: fail any requests still queued (inbox or per-op
+        # pending lists) so their socket threads unblock instead of
+        # waiting out their timeout loops.
+        leftovers = [p for q in self._pending_by_op.values() for p in q]
+        self._pending_by_op.clear()
         while True:
             try:
-                p = self._queue.get_nowait()
+                leftovers.append(self._queue.get_nowait())
             except queue.Empty:
                 break
+        for p in leftovers:
             p.error = "server shutting down"
             p.event.set()
 

@@ -208,3 +208,47 @@ def test_start_warms_all_served_programs():
         assert calls == []
     finally:
         srv2.stop()
+
+
+def test_interleaved_ops_batch_with_their_own_kind(session):
+    """Mixed reconstruct/embed arrivals must NOT split a group at every
+    op boundary: per-op pending queues coalesce each kind (a single FIFO
+    degrades to occupancy ~1 under a strict op interleave)."""
+    srv = PointServer(session, port=0, max_delay_ms=300.0).start()
+    try:
+        pts = _clouds(6, seed=9)
+        results = [None] * 6
+        barrier = threading.Barrier(6)
+
+        def worker(i):
+            with PointClient("127.0.0.1", srv.port) as c:
+                barrier.wait()
+                if i % 2 == 0:
+                    results[i] = ("rec", c.reconstruct(pts[i]))
+                else:
+                    results[i] = ("emb", c.embed(pts[i]))
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+
+        want_rec = session.reconstruct(pts)
+        want_emb = session.embed(pts)
+        for i in range(6):
+            kind, out = results[i]
+            want = want_rec[i] if kind == "rec" else want_emb[i]
+            np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-6)
+
+        with PointClient("127.0.0.1", srv.port) as c:
+            stats = c.stats()
+        assert stats["requests"] == 6 and stats["batched_shapes"] == 6
+        # 3+3 mixed singles in a 300 ms window: one batch per op kind
+        # (at most 3 if the window split), never the 5-6 of an
+        # op-boundary-splitting FIFO.
+        assert stats["batches"] <= 3
+        assert stats["mean_batch_occupancy"] >= 2.0
+    finally:
+        srv.stop()
