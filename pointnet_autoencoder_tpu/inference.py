@@ -186,9 +186,21 @@ class InferenceSession:
             except (ValueError, KeyError, TypeError) as e:
                 errors.append(f"{opt_name}: {e}")
         if restored is None:
+            # A mismatch under state.params means the checkpoint's network
+            # tree itself differs -- wrong --model, not an optimizer-slot
+            # layout issue. Say so up front instead of burying the cause
+            # in orbax's per-candidate tree dumps.
+            hint = ""
+            if any("state.params" in e for e in errors):
+                hint = (
+                    f"\nHint: the parameter tree itself mismatches -- this "
+                    f"checkpoint was likely trained with a different "
+                    f"--model than {self.model_name!r} (each decoder "
+                    f"family has its own variable tree)."
+                )
             raise ValueError(
                 f"could not restore {model_path} with any known optimizer "
-                f"state layout:\n" + "\n".join(errors)
+                f"state layout:{hint}\n" + "\n".join(errors)
             )
         return {
             "params": restored["state"].params,

@@ -293,3 +293,12 @@ def test_bundle_export_roundtrip(trained, tmp_path):
     with pytest.raises(ValueError, match="refusing to overwrite"):
         sess.export_bundle(str(tmp_path / "precious"))
     assert (unrelated / "data.txt").read_text() == "do not delete"
+
+
+def test_wrong_model_restore_diagnoses_family_mismatch(trained):
+    """Restoring a checkpoint under the wrong --model must say the model
+    family mismatches, not bury the cause in optimizer-layout errors
+    (each decoder family has its own variable tree)."""
+    _root, ckpt = trained  # trained with --model model
+    with pytest.raises(ValueError, match="different\\s+--model"):
+        InferenceSession("model_hierachy", ckpt, NUM_POINT, batch_size=2)
