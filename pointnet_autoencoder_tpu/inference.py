@@ -198,6 +198,14 @@ class InferenceSession:
                     f"--model than {self.model_name!r} (each decoder "
                     f"family has its own variable tree)."
                 )
+            elif any("not compatible with the stored shape" in e
+                     for e in errors):
+                hint = (
+                    f"\nHint: the tree structure matches but array shapes "
+                    f"differ -- this checkpoint was likely trained with a "
+                    f"different --num_point than {self.num_point} (the "
+                    f"decoder output layer scales with it)."
+                )
             raise ValueError(
                 f"could not restore {model_path} with any known optimizer "
                 f"state layout:{hint}\n" + "\n".join(errors)

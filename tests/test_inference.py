@@ -302,3 +302,11 @@ def test_wrong_model_restore_diagnoses_family_mismatch(trained):
     _root, ckpt = trained  # trained with --model model
     with pytest.raises(ValueError, match="different\\s+--model"):
         InferenceSession("model_hierachy", ckpt, NUM_POINT, batch_size=2)
+
+
+def test_wrong_num_point_restore_diagnoses_shape_mismatch(trained):
+    """Same model family but a different --num_point must be diagnosed as
+    a shape (num_point) mismatch, not a model-family one."""
+    _root, ckpt = trained  # trained at NUM_POINT
+    with pytest.raises(ValueError, match="different\\s+--num_point"):
+        InferenceSession("model", ckpt, NUM_POINT * 2, batch_size=2)
