@@ -147,6 +147,7 @@ class PointServer:
         # Per-op pending lists, owned exclusively by the batcher thread;
         # the inbox queue is the only cross-thread handoff.
         self._pending_by_op: dict = {}
+        self._emb_dim: Optional[int] = None  # learned during warmup
         self._stop = threading.Event()
         self._sock: Optional[socket.socket] = None
         self._threads: List[threading.Thread] = []
@@ -182,6 +183,9 @@ class PointServer:
         self._session.reconstruct(dummy)
         emb = self._session.embed(dummy)
         self._session.decode(emb)
+        # Known embedding width lets decode requests be validated at the
+        # protocol layer instead of surfacing a flax shape error.
+        self._emb_dim = int(emb.shape[-1])
 
     @property
     def port(self) -> int:
@@ -273,6 +277,11 @@ class PointServer:
         if op != "decode" and data.shape[1:] != (self._session.num_point, 3):
             raise ValueError(
                 f"{op}: expected (*, {self._session.num_point}, 3), got "
+                f"{data.shape}")
+        if (op == "decode" and self._emb_dim is not None
+                and data.shape[1] != self._emb_dim):
+            raise ValueError(
+                f"decode: expected (*, {self._emb_dim}) embeddings, got "
                 f"{data.shape}")
         pending = _Pending(op, data)
         with self._lock:

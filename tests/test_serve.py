@@ -252,3 +252,14 @@ def test_interleaved_ops_batch_with_their_own_kind(session):
         assert stats["mean_batch_occupancy"] >= 2.0
     finally:
         srv.stop()
+
+
+def test_decode_wrong_embedding_dim_rejected_cleanly(server):
+    """Warmup learns the embedding width; a wrong-width decode request
+    gets a protocol-level error (not a flax shape traceback) and the
+    connection stays usable."""
+    with PointClient("127.0.0.1", server.port) as c:
+        with pytest.raises(RuntimeError, match="expected .* embeddings"):
+            c.decode(np.zeros((2, 7), np.float32))
+        out = c.reconstruct(np.zeros((NUM_POINT, 3), np.float32))
+        assert out.shape == (NUM_POINT, 3)
