@@ -38,11 +38,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "--data_parallel")
     p.add_argument("--num_microbatches", type=int, default=4,
                    help="Microbatches per batch under --pipeline_parallel")
+    p.add_argument("--compilation_cache_dir", default=None,
+                   help="Persistent XLA compilation cache: a restarted "
+                        "server reloads its compiled programs, cutting the "
+                        "warmup that otherwise recompiles every served op")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.compilation_cache_dir:
+        from pointnet_autoencoder_tpu.utils.backend import (
+            enable_compilation_cache,
+        )
+
+        enable_compilation_cache(args.compilation_cache_dir)
     from pointnet_autoencoder_tpu.inference import InferenceSession
     from pointnet_autoencoder_tpu.serve import PointServer
 

@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cache_dir", default=None,
                    help="On-disk cache of decoded shapes (.npz); share the "
                         "training run's cache to skip text decoding")
+    p.add_argument("--compilation_cache_dir", default=None,
+                   help="Persistent XLA compilation cache (share the "
+                        "training run's to skip the restore-path compiles)")
     p.add_argument("--seed", type=int, default=d.seed)
     return p
 
@@ -57,9 +60,14 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
-    from pointnet_autoencoder_tpu.utils.backend import honor_cpu_env_request
+    from pointnet_autoencoder_tpu.utils.backend import (
+        enable_compilation_cache,
+        honor_cpu_env_request,
+    )
 
     honor_cpu_env_request()  # JAX_PLATFORMS=cpu wins over hardware plugins
+    if args.compilation_cache_dir:
+        enable_compilation_cache(args.compilation_cache_dir)
     from pointnet_autoencoder_tpu.csrc.build import ensure_built
     from pointnet_autoencoder_tpu.data.shapenet_part import PartDataset
     from pointnet_autoencoder_tpu.inference import InferenceSession

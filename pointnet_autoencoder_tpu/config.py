@@ -54,6 +54,10 @@ class TrainConfig:
     log_every: int = 10           # batches between running-mean log lines
     cache_dir: Optional[str] = None  # on-disk decoded-shape cache (npz);
                                      # speeds up process start on real data
+    compilation_cache_dir: Optional[str] = None
+    # persistent XLA compilation cache: a restarted run reloads its
+    # compiled programs instead of recompiling (utils/backend.py:
+    # enable_compilation_cache; measured numbers in docs/ARCHITECTURE.md)
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)

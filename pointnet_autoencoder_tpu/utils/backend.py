@@ -14,6 +14,34 @@ import os
 import jax
 
 
+def enable_compilation_cache(cache_dir: str,
+                             min_compile_time_secs: float | None = None
+                             ) -> str:
+    """Persist compiled executables across processes.
+
+    Points JAX's persistent compilation cache at ``cache_dir`` so a
+    restarted trainer/server reloads its compiled programs instead of
+    recompiling them — the cold-start cost this framework documents
+    (~2 min for the flagship train step; a serving warmup that outlasted
+    client timeouts before PointServer learned to warm up first). On a
+    bare TPU host this is the only cross-process compile cache; the
+    development tunnel used here additionally caches server-side, so the
+    measured local win there is smaller (docs/ARCHITECTURE.md records
+    both numbers).
+
+    ``min_compile_time_secs`` overrides JAX's write threshold (default
+    ~1 s: only compiles that cost real time are persisted). Safe to call
+    before or after backend init; returns the absolute cache path.
+    """
+    cache_dir = os.path.abspath(cache_dir)
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    if min_compile_time_secs is not None:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          float(min_compile_time_secs))
+    return cache_dir
+
+
 def honor_cpu_env_request() -> None:
     """If JAX_PLATFORMS requests cpu first, force it via jax.config.
 

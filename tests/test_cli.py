@@ -44,6 +44,19 @@ def test_train_new_flags():
     assert TrainConfig().bf16  # bf16 is the default
 
 
+def test_compilation_cache_flag_parses():
+    args = train_cli.build_parser().parse_args(
+        ["--compilation_cache_dir", "/tmp/xc"]
+    )
+    cfg = train_cli.config_from_args(args)
+    assert cfg.compilation_cache_dir == "/tmp/xc"
+    assert TrainConfig().compilation_cache_dir is None  # opt-in
+    args = test_cli.build_parser().parse_args(
+        ["--compilation_cache_dir", "/tmp/xc"]
+    )
+    assert args.compilation_cache_dir == "/tmp/xc"
+
+
 def test_test_cli_defaults_match_reference():
     args = test_cli.build_parser().parse_args([])
     assert args.model == "model"
