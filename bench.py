@@ -193,6 +193,16 @@ def main() -> None:
                 for name, s in [("model", step_s), ("model_emd", emd_step_s),
                                 *family_step_s.items()]
             },
+            # Serving forward vs its fwd-only MXU floor (no loss kernels).
+            "serving_roofline": {
+                "measured_ms": round(1e3 * fwd_s, 3),
+                "analytic_floor_ms": round(roofline.forward_floor_ms(
+                    "model", batch_size // n_chips, num_point), 3),
+                "pct_of_roofline": round(
+                    100.0 * roofline.forward_floor_ms(
+                        "model", batch_size // n_chips, num_point)
+                    / (1e3 * fwd_s), 1),
+            },
         },
     }))
 

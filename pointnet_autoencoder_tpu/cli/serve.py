@@ -30,6 +30,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--port", type=int, default=7433)
     p.add_argument("--max_delay_ms", type=float, default=2.0,
                    help="How long a partial batch waits for co-riders")
+    p.add_argument("--max_pending_shapes", type=int, default=None,
+                   help="Backpressure bound: shapes admitted but not yet "
+                        "answered; past it requests fail fast with "
+                        "'server overloaded' [default: 64 batches' worth]")
     p.add_argument("--data_parallel", type=int, default=None,
                    help="Shard server batches over N devices")
     p.add_argument("--pipeline_parallel", action="store_true",
@@ -75,7 +79,8 @@ def main(argv=None):
         session = PipelinedSession(
             session, num_microbatches=args.num_microbatches)
     server = PointServer(session, host=args.host, port=args.port,
-                         max_delay_ms=args.max_delay_ms)
+                         max_delay_ms=args.max_delay_ms,
+                         max_pending_shapes=args.max_pending_shapes)
     print("warming up compiled programs (first compile can take minutes "
           "on a cold backend)...", flush=True)
     server.start()  # warmup runs before the socket binds

@@ -136,13 +136,23 @@ class PointServer:
         ``.port`` after ``start()``).
       max_delay_ms: how long a lone request waits for co-riders before a
         partial batch dispatches anyway.
+      max_pending_shapes: backpressure bound — shapes admitted but not yet
+        answered. Past it, new requests get an immediate
+        "server overloaded" error (and a ``rejected`` stats count) instead
+        of queueing without limit; a flood of clients then costs bounded
+        memory and fails fast rather than timing everyone out. Default:
+        64 compiled batches' worth.
     """
 
     def __init__(self, session, host: str = "127.0.0.1", port: int = 0,
-                 max_delay_ms: float = 2.0):
+                 max_delay_ms: float = 2.0,
+                 max_pending_shapes: Optional[int] = None):
         self._session = session
         self._host, self._port = host, port
         self._max_delay = max_delay_ms / 1e3
+        self._max_pending = (max_pending_shapes if max_pending_shapes
+                             is not None else 64 * session.batch_size)
+        self._inflight = 0  # admitted shapes not yet answered (under _lock)
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         # Per-op pending lists, owned exclusively by the batcher thread;
         # the inbox queue is the only cross-thread handoff.
@@ -154,7 +164,7 @@ class PointServer:
         self._lock = threading.Lock()
         self._stats = {
             "requests": 0, "shapes": 0, "batches": 0,
-            "batched_shapes": 0, "errors": 0,
+            "batched_shapes": 0, "errors": 0, "rejected": 0,
         }
 
     # -- lifecycle ----------------------------------------------------------
@@ -283,20 +293,38 @@ class PointServer:
             raise ValueError(
                 f"decode: expected (*, {self._emb_dim}) embeddings, got "
                 f"{data.shape}")
-        pending = _Pending(op, data)
+        b = data.shape[0]
         with self._lock:
-            self._stats["requests"] += 1
-            self._stats["shapes"] += data.shape[0]
-        self._queue.put(pending)
-        while not pending.event.wait(timeout=1.0):
-            if self._stop.is_set():
-                pending.error = "server shutting down"
-                break
-        if pending.error is not None:
-            send_message(conn, {"ok": False, "error": pending.error})
-        else:
-            result = pending.result[0] if single else pending.result
-            send_message(conn, {"ok": True}, result)
+            if self._inflight + b > self._max_pending:
+                self._stats["rejected"] += 1
+                overloaded = True
+            else:
+                self._inflight += b
+                self._stats["requests"] += 1
+                self._stats["shapes"] += b
+                overloaded = False
+        if overloaded:
+            send_message(conn, {
+                "ok": False,
+                "error": (f"server overloaded: {self._max_pending} shapes "
+                          f"already pending; retry later"),
+            })
+            return
+        pending = _Pending(op, data)
+        try:
+            self._queue.put(pending)
+            while not pending.event.wait(timeout=1.0):
+                if self._stop.is_set():
+                    pending.error = "server shutting down"
+                    break
+            if pending.error is not None:
+                send_message(conn, {"ok": False, "error": pending.error})
+            else:
+                result = pending.result[0] if single else pending.result
+                send_message(conn, {"ok": True}, result)
+        finally:
+            with self._lock:
+                self._inflight -= b
 
     # -- device side ----------------------------------------------------------
 

@@ -105,6 +105,18 @@ def network_matmul_flops(batch: int, num_point: int,
     return 3.0 * fwd
 
 
+def forward_floor_ms(config: str, batch: int, num_point: int) -> float:
+    """Analytic MXU floor for the eval-mode (serving) forward: fwd-only
+    network matmuls, no loss kernels, no backward. What InferenceSession
+    compiles per batch (the whole-encoder fused kernel + decoder)."""
+    per_point = sum(
+        2 * cin * cout
+        for cin, cout in zip(_ENCODER_CHANNELS[:-1], _ENCODER_CHANNELS[1:])
+    )
+    fwd = batch * (num_point * per_point + _decoder_flops(config, num_point))
+    return fwd / MXU_BF16_FLOPS * 1e3
+
+
 def chamfer_vpu_ops(batch: int, n: int, m: int,
                     backward: bool = True) -> float:
     per_pair = _CHAMFER_FWD_OPS_PER_PAIR + (

@@ -34,6 +34,17 @@ def test_model_emd_step_floor_matches_documented():
     assert 70.0 < r["pct_of_roofline"] < 85.0
 
 
+def test_forward_floor_is_fwd_only_mxu():
+    # Serving forward floor = 1/3 of the fwd+bwd matmul budget (bwd ~= 2x
+    # fwd), loss kernels excluded entirely.
+    fwd = roofline.forward_floor_ms("model", 32, 2048)
+    full = roofline.step_floor_ms("model", 32, 2048)
+    assert fwd == pytest.approx(full["mxu_ms"] / 3.0, rel=1e-6)
+    assert 0.0 < fwd < full["floor_ms"]
+    # Round-3 measured eval forward (0.342 ms at B=32) sits near ~30%.
+    assert fwd / 0.342 == pytest.approx(0.30, abs=0.06)
+
+
 def test_decoder_flops_track_num_point():
     """The FC decoder's final matmul is 1024 x (num_point*3); the budget
     must scale with num_point rather than hardcode the 2048 workload."""

@@ -210,6 +210,61 @@ def test_start_warms_all_served_programs():
         srv2.stop()
 
 
+def test_overload_rejects_fast_and_recovers(session):
+    """Past max_pending_shapes the server must fail NEW requests
+    immediately ('server overloaded') instead of queueing without bound,
+    while already-admitted requests complete once the device frees up."""
+    gate = threading.Event()
+    gate.set()  # open during warmup
+
+    class GatedSession:
+        batch_size = session.batch_size
+        num_point = session.num_point
+        model_name = session.model_name
+
+        def reconstruct(self, pts):
+            gate.wait(timeout=30.0)
+            return session.reconstruct(pts)
+
+        embed = staticmethod(session.embed)
+        decode = staticmethod(session.decode)
+
+    srv = PointServer(GatedSession(), port=0, max_delay_ms=1.0,
+                      max_pending_shapes=4).start()
+    try:
+        gate.clear()  # block the batcher mid-dispatch from here on
+        pts = _clouds(4, seed=11)
+        result = [None]
+
+        def admitted():
+            with PointClient("127.0.0.1", srv.port) as c:
+                result[0] = c.reconstruct(pts)
+
+        t = threading.Thread(target=admitted)
+        t.start()
+        # Wait until the 4 shapes are admitted (inflight == max_pending).
+        for _ in range(200):
+            with PointClient("127.0.0.1", srv.port) as c:
+                if c.stats()["shapes"] >= 4:
+                    break
+            threading.Event().wait(0.02)
+        with PointClient("127.0.0.1", srv.port) as c:
+            with pytest.raises(RuntimeError, match="overloaded"):
+                c.reconstruct(pts[:1])
+            assert c.stats()["rejected"] == 1
+        gate.set()  # free the device; the admitted request completes
+        t.join(timeout=30.0)
+        assert not t.is_alive()
+        np.testing.assert_allclose(result[0], session.reconstruct(pts),
+                                   rtol=1e-6)
+        # Capacity is released after completion: new requests admit again.
+        with PointClient("127.0.0.1", srv.port) as c:
+            assert c.reconstruct(pts[:1]).shape == (1, NUM_POINT, 3)
+    finally:
+        gate.set()
+        srv.stop()
+
+
 def test_interleaved_ops_batch_with_their_own_kind(session):
     """Mixed reconstruct/embed arrivals must NOT split a group at every
     op boundary: per-op pending queues coalesce each kind (a single FIFO
