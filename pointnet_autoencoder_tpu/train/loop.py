@@ -20,6 +20,7 @@ The TPU-native redesign of the reference's session-driven loop
 
 from __future__ import annotations
 
+import signal
 import time
 from typing import Callable, Dict, Optional, Tuple
 
@@ -233,6 +234,12 @@ class Trainer:
         self.ckpt = CheckpointManager(config.log_dir)
         self.start_epoch = 0
         self.best_loss = float("inf")
+        # Preemption protocol (SIGTERM/SIGINT while train() runs): the
+        # handler sets this flag, the batch loop exits at the next step
+        # boundary, and train() writes a resumable checkpoint before
+        # returning. TPU preemption notices are short; reacting per step
+        # (not per epoch) keeps the save inside the grace window.
+        self._preempted = False
         if config.resume:
             self._try_resume()
 
@@ -295,6 +302,8 @@ class Trainer:
         t0 = time.time()
         shapes = 0
         for batch_idx, item in enumerate(self.train_pipe.epoch()):
+            if self._preempted:
+                break
             if self.input_mode == "device":
                 idxs, key = item
                 self.state, metrics = self._device_train_step(
@@ -362,8 +371,56 @@ class Trainer:
             self.logger.close()
         self.ckpt.close()
 
+    def _save_preempt(self, epoch: int) -> None:
+        """Resumable mid-run checkpoint: stored epoch pointer = the
+        interrupted epoch, so ``--resume`` restarts it from its beginning
+        (epoch-granular resume; the partial epoch's updates are kept in
+        the params, which only affects which shapes train twice)."""
+        tree = {
+            "state": jax.device_get(self.state),
+            "epoch": epoch,
+            "best_loss": self.best_loss,
+        }
+        path = self.ckpt.save_periodic(tree)
+        self.logger.log(
+            f"preemption checkpoint saved: {path} "
+            f"(--resume restarts epoch {epoch})"
+        )
+
+    def _install_signal_handlers(self):
+        """SIGTERM/SIGINT request a checkpoint-and-exit instead of killing
+        the run mid-step. A SECOND signal restores the previous handlers
+        (so a double Ctrl-C still interrupts hard). No-op outside the main
+        thread (signal handlers can only be installed there)."""
+        previous = {}
+
+        def restore():
+            for sig, h in previous.items():
+                try:
+                    signal.signal(sig, h)
+                except ValueError:
+                    pass
+
+        def request_stop(signum, frame):
+            if self._preempted:  # second signal: give up gracefulness
+                restore()
+                raise KeyboardInterrupt
+            self._preempted = True
+            self.logger.log(
+                f"received signal {signum}: checkpointing at the next "
+                f"step boundary, then exiting (signal again to kill)"
+            )
+
+        try:
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                previous[sig] = signal.signal(sig, request_stop)
+        except ValueError:
+            return lambda: None  # not the main thread (embedded callers)
+        return restore
+
     def train(self) -> float:
         cfg = self.config
+        restore_signals = self._install_signal_handlers()
         try:
             if cfg.eval_only:
                 loss = self.eval_one_epoch(self.start_epoch)
@@ -380,6 +437,9 @@ class Trainer:
                         f"profiler trace written to {cfg.profile_dir}")
                 else:
                     self.train_one_epoch(epoch)
+                if self._preempted:
+                    self._save_preempt(epoch)
+                    return self.best_loss
                 epoch_loss = self.eval_one_epoch(epoch)
                 if epoch_loss < self.best_loss:
                     self.best_loss = epoch_loss
@@ -388,4 +448,5 @@ class Trainer:
                     self._save("periodic", epoch)
             return self.best_loss
         finally:
+            restore_signals()
             self.close()
