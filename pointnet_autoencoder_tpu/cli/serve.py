@@ -87,7 +87,13 @@ def main(argv=None):
     print(f"serving {session.model_name} (num_point={session.num_point}, "
           f"batch={args.batch_size}) on {args.host}:{server.port}",
           flush=True)
+    # SIGTERM (systemd/k8s stop, TPU preemption) drains cleanly: queued
+    # requests get 'server shutting down' errors instead of dead sockets.
+    import signal
+
+    signal.signal(signal.SIGTERM, lambda s, f: server.request_stop())
     server.serve_forever()
+    print("server stopped", flush=True)
 
 
 if __name__ == "__main__":

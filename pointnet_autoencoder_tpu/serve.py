@@ -201,6 +201,13 @@ class PointServer:
     def port(self) -> int:
         return self._port
 
+    def request_stop(self) -> None:
+        """Signal-handler-safe shutdown request: flips the stop event and
+        returns immediately. The batcher fails queued requests cleanly
+        ('server shutting down') and ``serve_forever``/``stop`` join the
+        threads."""
+        self._stop.set()
+
     def stop(self) -> None:
         self._stop.set()
         for t in self._threads:

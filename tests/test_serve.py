@@ -265,6 +265,54 @@ def test_overload_rejects_fast_and_recovers(session):
         srv.stop()
 
 
+def test_request_stop_unblocks_waiting_clients(session):
+    """request_stop (the SIGTERM path in cli.serve) must fail waiting
+    clients with a clean 'server shutting down' error instead of leaving
+    them blocked on a dead socket."""
+    gate = threading.Event()
+    gate.set()  # open during warmup
+
+    class GatedSession:
+        batch_size = session.batch_size
+        num_point = session.num_point
+        model_name = session.model_name
+
+        def reconstruct(self, pts):
+            gate.wait(timeout=30.0)
+            return session.reconstruct(pts)
+
+        embed = staticmethod(session.embed)
+        decode = staticmethod(session.decode)
+
+    srv = PointServer(GatedSession(), port=0, max_delay_ms=1.0).start()
+    try:
+        gate.clear()  # batcher will block mid-dispatch
+        err = [None]
+
+        def blocked_client():
+            with PointClient("127.0.0.1", srv.port) as c:
+                try:
+                    c.reconstruct(_clouds(1, seed=13)[0])
+                except RuntimeError as e:
+                    err[0] = str(e)
+
+        t = threading.Thread(target=blocked_client)
+        t.start()
+        # Wait until the request is admitted, then request shutdown.
+        for _ in range(200):
+            with PointClient("127.0.0.1", srv.port) as c:
+                if c.stats()["shapes"] >= 1:
+                    break
+            threading.Event().wait(0.02)
+        srv.request_stop()
+        t.join(timeout=10.0)
+        assert not t.is_alive()
+        assert err[0] is not None and "shutting down" in err[0]
+    finally:
+        gate.set()
+        srv.stop()
+
+
 def test_interleaved_ops_batch_with_their_own_kind(session):
     """Mixed reconstruct/embed arrivals must NOT split a group at every
     op boundary: per-op pending queues coalesce each kind (a single FIFO
