@@ -244,6 +244,14 @@ def test_graft_dryrun_multichip_other_losses(config):
     __graft_entry__.dryrun_multichip(8, config)
 
 
+def test_graft_dryrun_sp(capsys):
+    """The no-arg sweep's point-parallel entry: SP Chamfer grad + SP EMD
+    cost over the full mesh."""
+    __graft_entry__._dryrun_sp(8)
+    out = capsys.readouterr().out
+    assert "'sp'" in out and "chamfer=" in out and "emd=" in out
+
+
 # ---------------------------------------------------------------------------
 # Pallas kernels under GSPMD sharding
 # ---------------------------------------------------------------------------
