@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cache_dir", default=None,
                    help="On-disk cache of decoded shapes (.npz); share the "
                         "training run's cache to skip text decoding")
+    p.add_argument("--fscore_threshold", type=float, default=None,
+                   help="Also report reconstruction F-score at this "
+                        "distance threshold (e.g. 0.01; off by default "
+                        "to keep the reference's output surface)")
     p.add_argument("--compilation_cache_dir", default=None,
                    help="Persistent XLA compilation cache (share the "
                         "training run's to skip the restore-path compiles)")
@@ -105,12 +109,20 @@ def main(argv=None) -> int:
                                         rng) if args.num_group > 1 else None)
 
     total_chamfer = 0.0
+    total_fscore = 0.0
     for i in range(count):
         ps, _ = dataset[int(indices[i])]
         pred = session.reconstruct(ps)
         cd = float(session.chamfer(pred[None], ps[None])[0])
         total_chamfer += cd
-        print(f"shape {i}: chamfer {cd:.6f}")
+        if args.fscore_threshold is not None:
+            fs = float(session.fscore(pred[None], ps[None],
+                                      args.fscore_threshold)[0])
+            total_fscore += fs
+            print(f"shape {i}: chamfer {cd:.6f} "
+                  f"fscore@{args.fscore_threshold:g} {fs:.4f}")
+        else:
+            print(f"shape {i}: chamfer {cd:.6f}")
         if args.interactive:
             render.showpoints(ps, ballradius=8)
             render.showpoints(pred, ballradius=8)
@@ -129,6 +141,9 @@ def main(argv=None) -> int:
                 )
     if count:
         print(f"mean chamfer over {count} shapes: {total_chamfer / count:.6f}")
+        if args.fscore_threshold is not None:
+            print(f"mean fscore@{args.fscore_threshold:g} over {count} "
+                  f"shapes: {total_fscore / count:.4f}")
     if out_dir:
         print(f"renders written to {out_dir}")
     return 0

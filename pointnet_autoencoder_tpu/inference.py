@@ -23,6 +23,7 @@ import numpy as np
 
 from pointnet_autoencoder_tpu.models.autoencoder import DECODERS
 from pointnet_autoencoder_tpu.models.registry import get_model_spec
+from pointnet_autoencoder_tpu.ops.chamfer import fscore as _fscore_op
 from pointnet_autoencoder_tpu.ops.chamfer import nn_distance
 from pointnet_autoencoder_tpu.train.checkpoint import CheckpointManager
 from pointnet_autoencoder_tpu.train.state import TrainState, make_optimizer
@@ -137,6 +138,8 @@ class InferenceSession:
             return jnp.mean(d1, axis=1) + jnp.mean(d2, axis=1)
 
         self._chamfer = jax.jit(per_shape_chamfer)
+        # threshold is a traced argument: one executable serves any tau.
+        self._fscore = jax.jit(_fscore_op)
 
         # Decoder-only application for latent-space use (decode): the
         # decoder is a named submodule, so the standalone module class
@@ -350,6 +353,17 @@ class InferenceSession:
             if pred.shape[0] % self._mesh.shape[DATA_AXIS] != 0:
                 put = jnp.asarray
         return np.asarray(self._chamfer(put(pred), put(target)))
+
+    def fscore(self, pred, target, threshold: float = 0.01) -> np.ndarray:
+        """Per-shape reconstruction F-score@threshold between (B, N, 3)
+        clouds (ops/chamfer.py:fscore; precision/recall of nearest-neighbor
+        distances). Evaluation metric only — the reference reports just
+        the raw Chamfer."""
+        pred = np.asarray(pred, np.float32)
+        target = np.asarray(target, np.float32)
+        return np.asarray(self._fscore(
+            jnp.asarray(pred), jnp.asarray(target),
+            jnp.asarray(threshold, jnp.float32)))
 
     def evaluate(self, dataset, num_shapes: Optional[int] = None,
                  seed: int = 0):

@@ -423,3 +423,26 @@ def chamfer_loss(pred: jax.Array, label: jax.Array, impl: str | None = None):
     (models/model.py:80-82). The training loss scales this by 100."""
     d1, _, d2, _ = nn_distance(pred, label, impl=impl)
     return jnp.mean(d1) + jnp.mean(d2) if d1.shape != d2.shape else jnp.mean(d1 + d2)
+
+
+def fscore(pred: jax.Array, target: jax.Array, threshold: float = 0.01,
+           impl: str | None = None) -> jax.Array:
+    """Per-shape reconstruction F-score at a distance threshold.
+
+    The standard point-cloud reconstruction metric (Tatarchenko et al.,
+    CVPR 2019): harmonic mean of precision (fraction of pred points within
+    ``threshold`` of the target) and recall (fraction of target points
+    within ``threshold`` of the pred). ``nn_distance`` returns SQUARED
+    distances, so membership compares against ``threshold**2``. Returns
+    (B,) f32 in [0, 1]; 1 only when every point of each cloud has a
+    neighbor in the other within the threshold.
+
+    Evaluation-only addition — the reference's sole metric is the raw
+    mean Chamfer (``pcloss``, models/model.py:82); F-score is reported
+    alongside it, never trained on.
+    """
+    d1, _, d2, _ = nn_distance(pred, target, impl=impl)
+    t2 = jnp.asarray(threshold, jnp.float32) ** 2
+    precision = jnp.mean((d1 < t2).astype(jnp.float32), axis=1)
+    recall = jnp.mean((d2 < t2).astype(jnp.float32), axis=1)
+    return 2.0 * precision * recall / jnp.maximum(precision + recall, 1e-12)

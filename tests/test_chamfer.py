@@ -136,3 +136,33 @@ def test_identical_clouds_zero_distance():
     d1, i1, d2, i2 = chamfer.nn_distance(x1, x1, impl="xla")
     np.testing.assert_allclose(d1, 0.0, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(i1), np.arange(50)[None])
+
+
+def test_fscore_semantics():
+    """F-score@tau: 1 for identical clouds, 0 for far clouds, and the
+    exact precision/recall harmonic mean on a constructed half-overlap
+    (squared-distance threshold semantics included)."""
+    x, _ = _rand_clouds(1, 32, 32, seed=7)
+    np.testing.assert_allclose(
+        np.asarray(chamfer.fscore(x, x, 0.01, impl="xla")), 1.0)
+    far = x + 100.0
+    np.testing.assert_allclose(
+        np.asarray(chamfer.fscore(x, far, 0.01, impl="xla")), 0.0)
+    # pred = target with half the points displaced by 2*tau: precision =
+    # recall = 0.5 -> F = 0.5. Displaced points must not pair with other
+    # target points: spread the cloud on a coarse grid.
+    tau = 0.01
+    tgt = np.zeros((1, 8, 3), np.float32)
+    tgt[0, :, 0] = np.arange(8, dtype=np.float32)  # 1.0 apart on x
+    pred = tgt.copy()
+    pred[0, :4, 1] += 2 * tau
+    f = np.asarray(chamfer.fscore(jnp.asarray(pred), jnp.asarray(tgt), tau,
+                                  impl="xla"))
+    np.testing.assert_allclose(f, 0.5)
+    # Threshold compares true (unsquared) distance: displacement tau/2
+    # counts, 2*tau does not.
+    pred2 = tgt.copy()
+    pred2[0, :, 1] += tau / 2
+    np.testing.assert_allclose(
+        np.asarray(chamfer.fscore(jnp.asarray(pred2), jnp.asarray(tgt), tau,
+                                  impl="xla")), 1.0)

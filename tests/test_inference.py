@@ -60,6 +60,11 @@ def test_session_embed_and_chamfer(trained):
     assert emb.shape == (1024,)
     cd = sess.chamfer(pts[None], pts[None])
     np.testing.assert_allclose(cd, 0.0, atol=1e-6)
+    # F-score: 1 on identical clouds, 0 far away; threshold is a traced
+    # argument (no retrace across tau values).
+    np.testing.assert_allclose(sess.fscore(pts[None], pts[None]), 1.0)
+    np.testing.assert_allclose(
+        sess.fscore(pts[None] + 50.0, pts[None], threshold=0.05), 0.0)
 
 
 def test_session_data_parallel_matches_single_device(trained):
