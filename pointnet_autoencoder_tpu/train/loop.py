@@ -446,6 +446,11 @@ class Trainer:
                     self._save("best", epoch)
                 if epoch % 10 == 0:
                     self._save("periodic", epoch)
+                if self._preempted:
+                    # Signal landed during eval/saving: this epoch DID
+                    # complete, so the resume pointer moves past it.
+                    self._save_preempt(epoch + 1)
+                    return self.best_loss
             return self.best_loss
         finally:
             restore_signals()
