@@ -165,6 +165,7 @@ class PointServer:
         self._stats = {
             "requests": 0, "shapes": 0, "batches": 0,
             "batched_shapes": 0, "errors": 0, "rejected": 0,
+            "batch_ms_total": 0.0,
         }
 
     # -- lifecycle ----------------------------------------------------------
@@ -276,6 +277,8 @@ class PointServer:
             if stats["batches"]:
                 stats["mean_batch_occupancy"] = (
                     stats["batched_shapes"] / stats["batches"])
+                stats["mean_batch_ms"] = round(
+                    stats["batch_ms_total"] / stats["batches"], 3)
             send_message(conn, {"ok": True, "stats": stats})
             return
         if op not in ("reconstruct", "embed", "decode"):
@@ -396,6 +399,7 @@ class PointServer:
             with self._lock:
                 self._stats["batches"] += 1
                 self._stats["batched_shapes"] += packed.shape[0]
+            t0 = time.monotonic()
             try:
                 out = fns[group[0].op](packed)
             except Exception as e:
@@ -403,6 +407,12 @@ class PointServer:
                     p.error = f"{type(e).__name__}: {e}"
                     p.event.set()
                 continue
+            # Device service time (the session returns host numpy, so the
+            # dispatch has completed); requests/shapes/occupancy plus this
+            # give the stats endpoint a full utilization picture.
+            dt_ms = 1e3 * (time.monotonic() - t0)
+            with self._lock:
+                self._stats["batch_ms_total"] += dt_ms
             i = 0
             for p in group:
                 b = p.data.shape[0]

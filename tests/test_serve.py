@@ -63,6 +63,8 @@ def test_roundtrip_matches_direct_session(server, session):
         # decode(embed(x)) == reconstruct(x)
         np.testing.assert_allclose(
             c.decode(c.embed(pts)), c.reconstruct(pts), rtol=1e-6)
+        stats = c.stats()
+        assert stats["batches"] >= 1 and stats["mean_batch_ms"] > 0.0
 
 
 def test_concurrent_requests_are_batched(session):
