@@ -161,6 +161,8 @@ def main() -> None:
 
     from pointnet_autoencoder_tpu.utils import roofline
 
+    serving_floor_ms = roofline.forward_floor_ms(
+        "model", batch_size // n_chips, num_point)
     print(json.dumps({
         "metric": "train_throughput_model_b32_n2048",
         "value": round(shapes_per_sec_per_chip, 2),
@@ -196,12 +198,9 @@ def main() -> None:
             # Serving forward vs its fwd-only MXU floor (no loss kernels).
             "serving_roofline": {
                 "measured_ms": round(1e3 * fwd_s, 3),
-                "analytic_floor_ms": round(roofline.forward_floor_ms(
-                    "model", batch_size // n_chips, num_point), 3),
+                "analytic_floor_ms": round(serving_floor_ms, 3),
                 "pct_of_roofline": round(
-                    100.0 * roofline.forward_floor_ms(
-                        "model", batch_size // n_chips, num_point)
-                    / (1e3 * fwd_s), 1),
+                    100.0 * serving_floor_ms / (1e3 * fwd_s), 1),
             },
         },
     }))

@@ -177,3 +177,17 @@ def fused_head_np(x, w, b, gamma, beta, mean, var, eps=1e-3):
         * inv + np.asarray(beta, np.float64)
     o = np.maximum(o, 0.0)
     return o.max(axis=1), o.argmax(axis=1).astype(np.int32)
+
+
+def fscore_np(pred: np.ndarray, target: np.ndarray,
+              threshold: float) -> np.ndarray:
+    """Oracle for ops/chamfer.py:fscore — precision/recall of
+    nearest-neighbor membership at ``threshold`` (true distance; the
+    squared distances from nn_distance_np compare against threshold**2),
+    harmonic-mean combined per shape. Returns (B,) f32."""
+    d1, _, d2, _ = nn_distance_np(pred, target)
+    t2 = float(threshold) ** 2
+    precision = (d1 < t2).mean(axis=1)
+    recall = (d2 < t2).mean(axis=1)
+    denom = np.maximum(precision + recall, 1e-12)
+    return (2.0 * precision * recall / denom).astype(np.float32)

@@ -165,7 +165,7 @@ class PointServer:
         self._stats = {
             "requests": 0, "shapes": 0, "batches": 0,
             "batched_shapes": 0, "errors": 0, "rejected": 0,
-            "batch_ms_total": 0.0,
+            "batch_ms_total": 0.0, "batches_timed": 0,
         }
 
     # -- lifecycle ----------------------------------------------------------
@@ -277,8 +277,12 @@ class PointServer:
             if stats["batches"]:
                 stats["mean_batch_occupancy"] = (
                     stats["batched_shapes"] / stats["batches"])
+            if stats["batches_timed"]:
+                # Separate denominator: failed batches count in 'batches'
+                # but contribute no service time; dividing by it would
+                # permanently skew the mean low.
                 stats["mean_batch_ms"] = round(
-                    stats["batch_ms_total"] / stats["batches"], 3)
+                    stats["batch_ms_total"] / stats["batches_timed"], 3)
             send_message(conn, {"ok": True, "stats": stats})
             return
         if op not in ("reconstruct", "embed", "decode"):
@@ -305,7 +309,11 @@ class PointServer:
                 f"{data.shape}")
         b = data.shape[0]
         with self._lock:
-            if self._inflight + b > self._max_pending:
+            # A request larger than the bound must still make progress:
+            # admit it whenever the server is idle (the session chunks
+            # oversized batches internally) and reject it only while
+            # other work is in flight.
+            if self._inflight > 0 and self._inflight + b > self._max_pending:
                 self._stats["rejected"] += 1
                 overloaded = True
             else:
@@ -413,6 +421,7 @@ class PointServer:
             dt_ms = 1e3 * (time.monotonic() - t0)
             with self._lock:
                 self._stats["batch_ms_total"] += dt_ms
+                self._stats["batches_timed"] += 1
             i = 0
             for p in group:
                 b = p.data.shape[0]

@@ -376,6 +376,10 @@ class Trainer:
         interrupted epoch, so ``--resume`` restarts it from its beginning
         (epoch-granular resume; the partial epoch's updates are kept in
         the params, which only affects which shapes train twice)."""
+        self.logger.log(
+            f"received signal {getattr(self, '_preempt_signum', '?')}: "
+            f"stopping at a step boundary"
+        )
         tree = {
             "state": jax.device_get(self.state),
             "epoch": epoch,
@@ -406,10 +410,18 @@ class Trainer:
                 restore()
                 raise KeyboardInterrupt
             self._preempted = True
-            self.logger.log(
-                f"received signal {signum}: checkpointing at the next "
-                f"step boundary, then exiting (signal again to kill)"
-            )
+            self._preempt_signum = signum
+            # Async-signal-context: the main thread may be INSIDE the
+            # logger's buffered file write, which is not reentrant
+            # (a logger.log here can raise 'reentrant call inside
+            # BufferedWriter' and kill the run before the checkpoint).
+            # os.write to stderr is safe; the loop logs properly once it
+            # observes the flag.
+            import os as _os
+
+            _os.write(2, (f"\nreceived signal {signum}: checkpointing at "
+                          f"the next step boundary, then exiting (signal "
+                          f"again to kill)\n").encode())
 
         try:
             for sig in (signal.SIGTERM, signal.SIGINT):
@@ -420,6 +432,9 @@ class Trainer:
 
     def train(self) -> float:
         cfg = self.config
+        # A Trainer preempted once must be trainable again in-process
+        # (embedded callers); the flag is per-train()-call state.
+        self._preempted = False
         restore_signals = self._install_signal_handlers()
         try:
             if cfg.eval_only:

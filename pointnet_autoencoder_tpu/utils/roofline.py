@@ -107,14 +107,11 @@ def network_matmul_flops(batch: int, num_point: int,
 
 def forward_floor_ms(config: str, batch: int, num_point: int) -> float:
     """Analytic MXU floor for the eval-mode (serving) forward: fwd-only
-    network matmuls, no loss kernels, no backward. What InferenceSession
-    compiles per batch (the whole-encoder fused kernel + decoder)."""
-    per_point = sum(
-        2 * cin * cout
-        for cin, cout in zip(_ENCODER_CHANNELS[:-1], _ENCODER_CHANNELS[1:])
-    )
-    fwd = batch * (num_point * per_point + _decoder_flops(config, num_point))
-    return fwd / MXU_BF16_FLOPS * 1e3
+    network matmuls (= the fwd+bwd budget / 3), no loss kernels, no
+    backward. What InferenceSession compiles per batch (the whole-encoder
+    fused kernel + decoder)."""
+    return (network_matmul_flops(batch, num_point, config) / 3.0
+            / MXU_BF16_FLOPS * 1e3)
 
 
 def chamfer_vpu_ops(batch: int, n: int, m: int,

@@ -138,6 +138,24 @@ def test_identical_clouds_zero_distance():
     np.testing.assert_array_equal(np.asarray(i1), np.arange(50)[None])
 
 
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_fscore_matches_oracle(impl):
+    """Random-cloud parity vs the numpy oracle (repo convention: every
+    ops/ entry point has an oracles.py counterpart). No fd-gradient test:
+    F-score is a piecewise-constant eval metric, not a training loss.
+    Thresholds chosen near the clouds' distance scale so precision/recall
+    are strictly between 0 and 1."""
+    x, y = _rand_clouds(3, 96, 64, seed=8)
+    for tau in (0.2, 0.5, 1.0):
+        got = np.asarray(chamfer.fscore(jnp.asarray(x), jnp.asarray(y), tau,
+                                        impl=impl))
+        want = oracles.fscore_np(x, y, tau)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+    mid = np.asarray(chamfer.fscore(jnp.asarray(x), jnp.asarray(y), 0.5,
+                                    impl=impl))
+    assert (mid > 0.0).all() and (mid < 1.0).all()
+
+
 def test_fscore_semantics():
     """F-score@tau: 1 for identical clouds, 0 for far clouds, and the
     exact precision/recall harmonic mean on a constructed half-overlap

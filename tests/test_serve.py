@@ -169,6 +169,59 @@ def test_oversized_request_splits_across_batches(server, session):
             c.reconstruct(pts), session.reconstruct(pts), rtol=1e-6)
 
 
+def test_request_larger_than_pending_bound_admits_when_idle(session):
+    """A request bigger than max_pending_shapes can never satisfy
+    inflight + b <= bound, so 'retry later' would loop forever; an idle
+    server must admit it anyway (the session chunks internally)."""
+    srv = PointServer(session, port=0, max_delay_ms=1.0,
+                      max_pending_shapes=2).start()
+    try:
+        pts = _clouds(7, seed=21)
+        with PointClient("127.0.0.1", srv.port) as c:
+            np.testing.assert_allclose(
+                c.reconstruct(pts), session.reconstruct(pts), rtol=1e-6)
+            assert c.stats()["rejected"] == 0
+    finally:
+        srv.stop()
+
+
+def test_mean_batch_ms_excludes_failed_batches():
+    """A batch whose session call raises counts in 'batches' but must not
+    dilute mean_batch_ms (it contributed no service time)."""
+    calls = {"n": 0}
+
+    class FlakySession:
+        batch_size = 4
+        num_point = NUM_POINT
+        model_name = "model"
+
+        def reconstruct(self, pts):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected device failure")
+            return np.zeros_like(np.asarray(pts))
+
+        def embed(self, pts):
+            return np.zeros((np.asarray(pts).shape[0], 16), np.float32)
+
+        def decode(self, emb):
+            return np.zeros((np.asarray(emb).shape[0], NUM_POINT, 3),
+                            np.float32)
+
+    srv = PointServer(FlakySession(), port=0, max_delay_ms=1.0)
+    srv.start(warmup=False)
+    try:
+        with PointClient("127.0.0.1", srv.port) as c:
+            with pytest.raises(RuntimeError, match="injected"):
+                c.reconstruct(_clouds(1, seed=22)[0])
+            c.reconstruct(_clouds(1, seed=23)[0])  # succeeds
+            stats = c.stats()
+            assert stats["batches"] == 2 and stats["batches_timed"] == 1
+            assert stats["mean_batch_ms"] > 0.0
+    finally:
+        srv.stop()
+
+
 def test_start_warms_all_served_programs():
     """start() must compile-and-execute every served program BEFORE the
     socket accepts traffic: against a cold backend the first dispatch

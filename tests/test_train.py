@@ -257,6 +257,15 @@ def test_trainer_preemption_checkpoints_and_resumes(fixture_root, tmp_path):
             == int(jax.device_get(trainer.state.step)))
     # The original handlers were restored on exit.
     assert signal.getsignal(signal.SIGTERM) == prev_handler
+    # A stale preempted flag must not survive into a new train() call
+    # (embedded callers retrain in-process): the flag is reset on entry.
+    cfg3 = TrainConfig(**{**cfg.__dict__, "resume": True,
+                          "max_epoch": trainer2.start_epoch + 1})
+    trainer3 = Trainer(cfg3)
+    trainer3._preempted = True  # simulate leftover state
+    step_before = int(jax.device_get(trainer3.state.step))
+    trainer3.train()
+    assert int(jax.device_get(trainer3.state.step)) > step_before
 
 
 def test_trainer_warns_on_zero_batch_epoch(fixture_root, tmp_path):
