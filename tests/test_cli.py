@@ -57,6 +57,19 @@ def test_compilation_cache_flag_parses():
     assert args.compilation_cache_dir == "/tmp/xc"
 
 
+def test_serve_cli_flags_parse():
+    from pointnet_autoencoder_tpu.cli import serve as serve_cli
+
+    args = serve_cli.build_parser().parse_args(
+        ["--model_path", "/tmp/b", "--max_pending_shapes", "16",
+         "--max_delay_ms", "5", "--compilation_cache_dir", "/tmp/xc"]
+    )
+    assert args.max_pending_shapes == 16 and args.max_delay_ms == 5.0
+    assert args.compilation_cache_dir == "/tmp/xc"
+    assert serve_cli.build_parser().parse_args(
+        ["--model_path", "/tmp/b"]).max_pending_shapes is None
+
+
 def test_test_cli_defaults_match_reference():
     args = test_cli.build_parser().parse_args([])
     assert args.model == "model"
