@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Backpressure bound: shapes admitted but not yet "
                         "answered; past it requests fail fast with "
                         "'server overloaded' [default: 64 batches' worth]")
+    p.add_argument("--max_connections", type=int, default=256,
+                   help="Concurrent-connection bound (one thread each); "
+                        "excess connections are refused with an error "
+                        "frame [default: 256]")
     p.add_argument("--data_parallel", type=int, default=None,
                    help="Shard server batches over N devices")
     p.add_argument("--pipeline_parallel", action="store_true",
@@ -80,7 +84,8 @@ def main(argv=None):
             session, num_microbatches=args.num_microbatches)
     server = PointServer(session, host=args.host, port=args.port,
                          max_delay_ms=args.max_delay_ms,
-                         max_pending_shapes=args.max_pending_shapes)
+                         max_pending_shapes=args.max_pending_shapes,
+                         max_connections=args.max_connections)
     print("warming up compiled programs (first compile can take minutes "
           "on a cold backend)...", flush=True)
     server.start()  # warmup runs before the socket binds

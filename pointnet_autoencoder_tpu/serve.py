@@ -140,19 +140,27 @@ class PointServer:
         answered. Past it, new requests get an immediate
         "server overloaded" error (and a ``rejected`` stats count) instead
         of queueing without limit; a flood of clients then costs bounded
-        memory and fails fast rather than timing everyone out. Default:
-        64 compiled batches' worth.
+        memory and fails fast rather than timing everyone out. (A request
+        larger than the bound still admits when the server is idle.)
+        Default: 64 compiled batches' worth.
+      max_connections: concurrent-connection bound (one thread per
+        connection); excess connections get a "too many connections"
+        error frame and an immediate close, so a connection flood costs
+        bounded threads.
     """
 
     def __init__(self, session, host: str = "127.0.0.1", port: int = 0,
                  max_delay_ms: float = 2.0,
-                 max_pending_shapes: Optional[int] = None):
+                 max_pending_shapes: Optional[int] = None,
+                 max_connections: int = 256):
         self._session = session
         self._host, self._port = host, port
         self._max_delay = max_delay_ms / 1e3
         self._max_pending = (max_pending_shapes if max_pending_shapes
                              is not None else 64 * session.batch_size)
         self._inflight = 0  # admitted shapes not yet answered (under _lock)
+        self._max_conns = max_connections
+        self._conns = 0  # live client connections (under _lock)
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         # Per-op pending lists, owned exclusively by the batcher thread;
         # the inbox queue is the only cross-thread handoff.
@@ -235,11 +243,33 @@ class PointServer:
                 continue
             except OSError:
                 return
+            with self._lock:
+                admit = self._conns < self._max_conns
+                if admit:
+                    self._conns += 1
+            if not admit:
+                try:
+                    send_message(conn, {
+                        "ok": False,
+                        "error": (f"too many connections "
+                                  f"({self._max_conns} already open)"),
+                    })
+                except OSError:
+                    pass
+                conn.close()
+                continue
             t = threading.Thread(
                 target=self._client_loop, args=(conn,), daemon=True)
             t.start()
 
     def _client_loop(self, conn: socket.socket) -> None:
+        try:
+            self._client_loop_inner(conn)
+        finally:
+            with self._lock:
+                self._conns -= 1
+
+    def _client_loop_inner(self, conn: socket.socket) -> None:
         with conn:
             while not self._stop.is_set():
                 # Poll for the next frame so idle connections observe

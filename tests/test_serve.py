@@ -185,6 +185,35 @@ def test_request_larger_than_pending_bound_admits_when_idle(session):
         srv.stop()
 
 
+def test_connection_bound_refuses_excess_and_recovers(session):
+    """Past max_connections the server must refuse new connections with an
+    error frame (bounded threads under a connection flood) and accept
+    again once one closes."""
+    srv = PointServer(session, port=0, max_delay_ms=1.0,
+                      max_connections=1).start()
+    try:
+        c1 = PointClient("127.0.0.1", srv.port)
+        assert c1.ping()["ok"]
+        c2 = PointClient("127.0.0.1", srv.port)
+        with pytest.raises(RuntimeError, match="too many connections"):
+            c2.ping()
+        c2.close()
+        c1.close()
+        # The slot frees once the server notices the close.
+        deadline = threading.Event()
+        for _ in range(100):
+            try:
+                with PointClient("127.0.0.1", srv.port) as c3:
+                    assert c3.ping()["ok"]
+                break
+            except RuntimeError:
+                deadline.wait(0.05)
+        else:
+            pytest.fail("connection slot never freed")
+    finally:
+        srv.stop()
+
+
 def test_mean_batch_ms_excludes_failed_batches():
     """A batch whose session call raises counts in 'batches' but must not
     dilute mean_batch_ms (it contributed no service time)."""
