@@ -349,6 +349,45 @@ def test_overload_rejects_fast_and_recovers(session):
         srv.stop()
 
 
+def test_malformed_frames_do_not_kill_the_server(server, session):
+    """Garbage on the wire (oversized headers, invalid JSON, absurd or
+    negative shapes, truncated frames) must error or drop THAT connection
+    only; the server keeps serving well-formed clients."""
+    import socket
+    import struct
+
+    def raw(payload: bytes) -> bytes:
+        """One framed message with the given header bytes."""
+        return struct.pack(">I", len(payload)) + payload
+
+    attacks = [
+        struct.pack(">I", 1 << 20),                      # oversized header
+        raw(b"this is not json"),                        # invalid JSON
+        raw(b'{"op": "reconstruct", "shape": [999999999, 999999]}'),
+        raw(b'{"op": "reconstruct", "shape": [-4, 64, 3]}'),
+        raw(b'{"op": "embed", "shape": [1]}') + b"\x00",  # short payload
+        b"\xff\xff",                                      # truncated length
+    ]
+    for attack in attacks:
+        s = socket.create_connection(("127.0.0.1", server.port), timeout=10)
+        try:
+            s.sendall(attack)
+            s.shutdown(socket.SHUT_WR)
+            s.settimeout(10)
+            try:
+                s.recv(1 << 16)  # error frame or clean close; never a hang
+            except OSError:
+                pass
+        finally:
+            s.close()
+    # A well-formed client still gets exact service.
+    pts = _clouds(2, seed=31)
+    with PointClient("127.0.0.1", server.port) as c:
+        np.testing.assert_allclose(
+            c.reconstruct(pts), session.reconstruct(pts), rtol=1e-6)
+        assert c.ping()["ok"]
+
+
 def test_request_stop_unblocks_waiting_clients(session):
     """request_stop (the SIGTERM path in cli.serve) must fail waiting
     clients with a clean 'server shutting down' error instead of leaving
