@@ -123,3 +123,23 @@ class DeviceBatchIterator:
             idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
             self._key, sub = jax.random.split(self._key)
             yield jnp.asarray(idxs, jnp.int32), sub
+
+    def epoch_chunks(self, chunk: int) -> "Tuple[np.ndarray, jax.Array]":
+        """Epoch as (K, B) index chunks + one key per chunk, for multi-step
+        scan dispatch (train/loop.py): every device call to the tunneled
+        backend costs a host RPC (measured ~3-10 ms each, vs the 2.7 ms
+        device step), so the Trainer runs ``chunk`` train steps per dispatch
+        under one lax.scan. The last chunk carries the epoch tail
+        (len % chunk batches). Chunk keys are split once per chunk here;
+        per-step keys are derived inside the jitted scan."""
+        if chunk < 1:
+            raise ValueError(f"chunk must be >= 1, got {chunk}")
+        order = np.arange(self.num_shapes)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        n = len(self)
+        for c0 in range(0, n, chunk):
+            k = min(chunk, n - c0)
+            idxs = order[c0 * self.batch_size:(c0 + k) * self.batch_size]
+            self._key, sub = jax.random.split(self._key)
+            yield (idxs.reshape(k, self.batch_size).astype(np.int32), sub)

@@ -18,6 +18,32 @@ import numpy as np
 
 _SYNSETS = {"Chair": "03001627", "Table": "04379243", "Lamp": "03636649"}
 
+# All 16 ShapeNetPart categories with their real synset offsets
+# (the v0 archive's synsetoffset2category.txt; /root/reference/README.md:18
+# names the archive, part_dataset.py:45-54 consumes this map). Used by the
+# full-archive-scale fixture; the 3-category trio above stays the default
+# so small fixtures stay small.
+_SYNSETS_FULL = {
+    "Airplane": "02691156", "Bag": "02773838", "Cap": "02954340",
+    "Car": "02958343", "Chair": "03001627", "Earphone": "03261776",
+    "Guitar": "03467517", "Knife": "03624134", "Lamp": "03636649",
+    "Laptop": "03642806", "Motorbike": "03790512", "Mug": "03797390",
+    "Pistol": "03948459", "Rocket": "04099429", "Skateboard": "04225987",
+    "Table": "04379243",
+}
+
+# Published per-category shape totals of the ShapeNetPart segmentation
+# benchmark (16,881 shapes; the table from the PointNet/ShapeNetPart
+# literature). APPROXIMATE per-category ground truth for the v0 archive --
+# used only to size the calibration fixture; cli/parity.py verifies exact
+# split counts the day the real archive exists.
+REAL_V0_COUNTS = {
+    "Airplane": 2690, "Bag": 76, "Cap": 55, "Car": 898, "Chair": 3758,
+    "Earphone": 69, "Guitar": 787, "Knife": 392, "Lamp": 1547,
+    "Laptop": 451, "Motorbike": 202, "Mug": 184, "Pistol": 283,
+    "Rocket": 66, "Skateboard": 152, "Table": 5271,
+}
+
 
 def _make_shape(rng: np.random.Generator, kind: int, npts: int):
     if kind == 0:  # sphere with hemisphere part labels
@@ -46,28 +72,37 @@ def _make_shape(rng: np.random.Generator, kind: int, npts: int):
 def write_fixture(root: str, shapes_per_category: int = 12,
                   points_per_shape: int = 128, seed: int = 0,
                   categories: List[str] | None = None,
-                  variable_points: bool = False) -> str:
+                  variable_points: bool = False,
+                  category_counts: Dict[str, int] | None = None) -> str:
     """Creates the fixture under ``root`` and returns ``root``.
 
     ``variable_points`` draws each shape's point count uniformly from
     [points_per_shape/2, points_per_shape], like the real archive's ragged
     shapes -- exercising the resample-with-replacement and DeviceDataset
-    cyclic-padding paths."""
+    cyclic-padding paths.
+
+    ``category_counts`` overrides ``shapes_per_category`` per category
+    (see ``write_real_scale_fixture``)."""
     rng = np.random.default_rng(seed)
-    cats = categories or list(_SYNSETS)
+    synsets = dict(_SYNSETS, **_SYNSETS_FULL)
+    cats = (categories if categories is not None
+            else list(category_counts) if category_counts is not None
+            else list(_SYNSETS))
     os.makedirs(root, exist_ok=True)
     with open(os.path.join(root, "synsetoffset2category.txt"), "w") as f:
         for c in cats:
-            f.write(f"{c}\t{_SYNSETS[c]}\n")
+            f.write(f"{c}\t{synsets[c]}\n")
 
     splits: Dict[str, List[str]] = {"train": [], "val": [], "test": []}
     for c in cats:
-        synset = _SYNSETS[c]
+        synset = synsets[c]
+        count = (category_counts[c] if category_counts is not None
+                 else shapes_per_category)
         pts_dir = os.path.join(root, synset, "points")
         seg_dir = os.path.join(root, synset, "points_label")
         os.makedirs(pts_dir, exist_ok=True)
         os.makedirs(seg_dir, exist_ok=True)
-        for i in range(shapes_per_category):
+        for i in range(count):
             token = f"{synset}_{i:04d}"
             npts = (int(rng.integers(points_per_shape // 2,
                                      points_per_shape + 1))
@@ -86,3 +121,23 @@ def write_fixture(root: str, shapes_per_category: int = 12,
                   "w") as f:
             json.dump(entries, f)
     return root
+
+
+def write_real_scale_fixture(root: str, points_per_shape: int = 3000,
+                             seed: int = 0) -> str:
+    """Fixture at the FULL real-archive scale: all 16 ShapeNetPart
+    categories with their published per-category shape totals (16,881
+    shapes; REAL_V0_COUNTS) and ragged point counts averaging ~2,250
+    (``variable_points`` over ``points_per_shape``; the real archive
+    averages ~2,600). The split-bucket cycle yields the v0 archive's
+    ~5/6 trainval, 1/6 test proportions.
+
+    Purpose: wall-clock and memory calibration of full-dataset training
+    runs (the real archive is not downloadable in this environment --
+    docs/RESULTS.md); it makes numbers like "the full 16-category schedule
+    takes X minutes" measurable today. Statistical content is still
+    synthetic -- convergence losses are not comparable to real data."""
+    return write_fixture(
+        root, points_per_shape=points_per_shape, seed=seed,
+        variable_points=True, category_counts=REAL_V0_COUNTS,
+    )

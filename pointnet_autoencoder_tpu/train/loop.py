@@ -16,16 +16,23 @@ The TPU-native redesign of the reference's session-driven loop
 - Epoch structure, logging cadence (running means every 10 batches,
   train.py:208-214), eval policy and checkpoint policy (best + every 10
   epochs) match the reference observably.
+- Multi-step dispatch in device-input mode: log_every train steps run as
+  one lax.scan per device call, and metric fetches defer to the epoch end,
+  so per-step host work is zero. Host RPC overhead (measured 3-20 ms/step
+  on the tunneled dev backend, ~0.1 ms on a bare host) comes off the step
+  path entirely; end-to-end training runs at device speed.
 """
 
 from __future__ import annotations
 
+import functools
 import signal
 import time
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from pointnet_autoencoder_tpu.config import TrainConfig
@@ -44,6 +51,31 @@ from pointnet_autoencoder_tpu.train import master, schedules
 from pointnet_autoencoder_tpu.train.checkpoint import CheckpointManager
 from pointnet_autoencoder_tpu.train.logging import Logger, snapshot_config
 from pointnet_autoencoder_tpu.train.state import TrainState, make_optimizer
+
+
+@functools.partial(jax.jit, static_argnames="keys")
+def _stack_metrics(pending, keys: Tuple[str, ...]) -> jax.Array:
+    """(len(pending), len(keys)) f32 from a list of scalar-metric dicts.
+
+    Logging fetches go through this so a log boundary costs ONE
+    device->host transfer instead of len(pending) x len(keys) tiny ones.
+    On tunneled backends each transfer is a full RPC round trip (~25 ms
+    measured -- CLAUDE.md), so the naive jax.device_get(pending) of 10
+    dicts x 4 scalars costs ~1 s and dominated end-to-end training wall
+    time (~40 ms/step of host overhead vs the 2.7 ms device step)."""
+    return jnp.stack(
+        [jnp.stack([m[k].astype(jnp.float32) for k in keys])
+         for m in pending]
+    )
+
+
+def fetch_metric_means(pending: Sequence[Dict[str, jax.Array]]
+                       ) -> Dict[str, float]:
+    """Mean of each metric over a list of device-resident metric dicts,
+    via a single stacked transfer (see _stack_metrics)."""
+    keys = tuple(sorted(pending[0]))
+    vals = jax.device_get(_stack_metrics(list(pending), keys))
+    return {k: float(v) for k, v in zip(keys, vals.mean(axis=0))}
 
 
 def make_step_fns(model, spec: ModelSpec, tx, bn_schedule: Callable,
@@ -211,34 +243,60 @@ class Trainer:
             num_point = config.num_point
             rotate = not config.no_rotation
 
-            def device_train_step(state, data, lengths, idxs, key):
-                batch = assemble_batch(data, lengths, idxs, key, num_point,
-                                       rotate)
-                batch = jax.lax.with_sharding_constraint(
-                    batch, batch_sharding)
-                return train_step(state, batch)
+            # Multi-step dispatch: K train steps per device call under one
+            # lax.scan (K = log_every, so the sync cadence and the logging
+            # cadence coincide). On the tunneled dev backend every dispatch
+            # is a host RPC (~3-10 ms, vs the 2.7 ms device step); per-step
+            # dispatch capped end-to-end training at ~1k shapes/s while the
+            # chunked form runs at device speed (measured: 0.35 ms/step of
+            # host overhead vs 6-20 ms/step). On a bare TPU host the same
+            # change amortizes the ordinary ~0.1 ms dispatch cost.
+            def device_train_chunk(state, data, lengths, idxs, key):
+                keys = jax.random.split(key, idxs.shape[0])
 
-            def device_eval_step(state, data, lengths, idxs, key):
-                batch = assemble_batch(data, lengths, idxs, key, num_point,
-                                       rotate=False)
-                batch = jax.lax.with_sharding_constraint(
-                    batch, batch_sharding)
-                return eval_step(state, batch)
+                def body(st, xs):
+                    ix, k = xs
+                    batch = assemble_batch(data, lengths, ix, k, num_point,
+                                           rotate)
+                    batch = jax.lax.with_sharding_constraint(
+                        batch, batch_sharding)
+                    return train_step(st, batch)
 
-            self._device_train_step = jax.jit(device_train_step,
-                                              donate_argnums=(0,))
-            self._device_eval_step = jax.jit(device_eval_step)
+                return jax.lax.scan(body, state, (idxs, keys))
+
+            def device_eval_chunk(state, data, lengths, idxs, key):
+                keys = jax.random.split(key, idxs.shape[0])
+
+                def body(carry, xs):
+                    ix, k = xs
+                    batch = assemble_batch(data, lengths, ix, k, num_point,
+                                           rotate=False)
+                    batch = jax.lax.with_sharding_constraint(
+                        batch, batch_sharding)
+                    return carry, eval_step(state, batch)
+
+                _, metrics = jax.lax.scan(body, 0, (idxs, keys))
+                return metrics
+
+            self._device_train_chunk = jax.jit(device_train_chunk,
+                                               donate_argnums=(0,))
+            self._device_eval_chunk = jax.jit(device_eval_chunk)
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
 
         self.ckpt = CheckpointManager(config.log_dir)
         self.start_epoch = 0
         self.best_loss = float("inf")
+        # Host-side mirror of state.step (fresh state starts at 0); resume
+        # re-seeds it from the checkpoint. See _host_step.
+        self._step_cache: Optional[int] = 0
         # Preemption protocol (SIGTERM/SIGINT while train() runs): the
-        # handler sets this flag, the batch loop exits at the next step
-        # boundary, and train() writes a resumable checkpoint before
-        # returning. TPU preemption notices are short; reacting per step
-        # (not per epoch) keeps the save inside the grace window.
+        # handler sets this flag, the batch loop exits at the next dispatch
+        # boundary (per step in host mode, per log_every-step chunk in
+        # device mode -- ~30 ms of device work), and train() writes a
+        # resumable checkpoint before returning. TPU preemption notices
+        # are short; reacting inside the epoch keeps the save within the
+        # grace window.
         self._preempted = False
         if config.resume:
             self._try_resume()
@@ -262,6 +320,7 @@ class Trainer:
         self.state = tp.shard_state(self.mesh, restored["state"])
         self.start_epoch = int(restored["epoch"])
         self.best_loss = float(restored["best_loss"])
+        self._step_cache = int(jax.device_get(restored["state"].step))
         self.logger.log(
             f"resumed from {path} at epoch {self.start_epoch} "
             f"(best eval loss {self.best_loss:.6f})"
@@ -293,75 +352,121 @@ class Trainer:
                 f"{len(self.train_dataset)} shapes < batch_size "
                 f"{cfg.batch_size}); epoch is a no-op"
             )
-        pending = []  # device-resident metric dicts; fetched at log boundaries
-        # Fetch the step counter once per epoch; each train step advances it
-        # by exactly 1, so log boundaries derive it host-side instead of
-        # paying a second blocking device fetch (~25 ms RTT on the tunneled
-        # backend) per log line.
-        start_step = int(jax.device_get(self.state.step))
+        # The step counter is tracked host-side (each train step advances it
+        # by exactly 1), so neither log lines nor eval epochs pay a blocking
+        # device fetch (~25 ms RTT on the tunneled backend) to learn it.
+        start_step = self._host_step()
         t0 = time.time()
-        shapes = 0
-        for batch_idx, item in enumerate(self.train_pipe.epoch()):
-            if self._preempted:
-                break
-            if self.input_mode == "device":
-                idxs, key = item
-                self.state, metrics = self._device_train_step(
-                    self.state, self.train_device.data,
-                    self.train_device.lengths, idxs, key,
-                )
-            else:
-                self.state, metrics = self._train_step(self.state, item)
-            shapes += cfg.batch_size
-            pending.append(metrics)
-            if (batch_idx + 1) % cfg.log_every == 0:
-                # One device->host sync per log_every steps keeps the async
-                # dispatch queue full between log lines.
-                fetched = jax.device_get(pending)
-                count = len(fetched)
-                sums: Dict[str, float] = {}
-                for m in fetched:
-                    for k, v in m.items():
-                        sums[k] = sums.get(k, 0.0) + float(v)
-                pending = []
-                log.log(f" -- {batch_idx + 1:03d} / {num_batches:03d} --")
-                log.log(f"mean loss: {sums['loss'] / count:.6f}")
-                log.log(f"mean pc loss: {sums['pcloss'] / count:.6f}")
-                step = start_step + batch_idx + 1
-                log.scalars("train", step,
-                            {k: v / count for k, v in sums.items()})
-        # One sync so the epoch time reflects device completion, not just
-        # dispatch (block_until_ready is unreliable on tunneled backends).
-        if pending:
-            jax.device_get(pending[-1]["loss"])
+        if self.input_mode == "device":
+            steps_done, shapes = self._train_epoch_device(start_step,
+                                                          num_batches)
+        else:
+            steps_done, shapes = self._train_epoch_host(start_step,
+                                                        num_batches)
+        self._step_cache = start_step + steps_done
         dt = time.time() - t0
         if dt > 0:
             log.log(f"epoch throughput: {shapes / dt:.1f} shapes/sec")
+
+    def _train_epoch_device(self, start_step: int, num_batches: int
+                            ) -> Tuple[int, int]:
+        """Device-input epoch: log_every steps per dispatch (one lax.scan),
+        with ALL metric fetches deferred to the epoch end -- the epoch's
+        host cost is one async dispatch RPC per chunk plus one transfer.
+        Log lines therefore print at the epoch boundary; their content
+        (per-log_every running means, reference train.py:208-214) is
+        identical to the streaming form."""
+        cfg = self.config
+        log = self.logger
+        chunks = []  # (first_batch_idx, size, device metrics of (K,) leaves)
+        steps_done = 0
+        for idxs, key in self.train_pipe.epoch_chunks(cfg.log_every):
+            if self._preempted:
+                break
+            self.state, metrics = self._device_train_chunk(
+                self.state, self.train_device.data,
+                self.train_device.lengths, idxs, key,
+            )
+            chunks.append((steps_done, idxs.shape[0], metrics))
+            steps_done += idxs.shape[0]
+        # One epoch-end fetch; doubles as the device-completion barrier
+        # (block_until_ready is unreliable on tunneled backends).
+        fetched = jax.device_get([m for (_, _, m) in chunks])
+        for (first, size, _), m in zip(chunks, fetched):
+            if size != cfg.log_every:
+                continue  # the reference logs only at full log_every marks
+            means = {k: float(np.mean(np.asarray(v, np.float32)))
+                     for k, v in m.items()}
+            log.log(f" -- {first + size:03d} / {num_batches:03d} --")
+            log.log(f"mean loss: {means['loss']:.6f}")
+            log.log(f"mean pc loss: {means['pcloss']:.6f}")
+            log.scalars("train", start_step + first + size, means)
+        return steps_done, steps_done * cfg.batch_size
+
+    def _train_epoch_host(self, start_step: int, num_batches: int
+                          ) -> Tuple[int, int]:
+        """Host-input epoch (reference-style assembly): one dispatch per
+        step, metric fetch per log boundary via a single stacked transfer
+        (fetch_metric_means)."""
+        cfg = self.config
+        log = self.logger
+        pending = []
+        steps_done = 0
+        for batch_idx, batch in enumerate(self.train_pipe.epoch()):
+            if self._preempted:
+                break
+            self.state, metrics = self._train_step(self.state, batch)
+            steps_done += 1
+            pending.append(metrics)
+            if (batch_idx + 1) % cfg.log_every == 0:
+                means = fetch_metric_means(pending)
+                pending = []
+                log.log(f" -- {batch_idx + 1:03d} / {num_batches:03d} --")
+                log.log(f"mean loss: {means['loss']:.6f}")
+                log.log(f"mean pc loss: {means['pcloss']:.6f}")
+                log.scalars("train", start_step + batch_idx + 1, means)
+        # One sync so the epoch time reflects device completion.
+        if pending:
+            jax.device_get(pending[-1]["loss"])
+        return steps_done, steps_done * cfg.batch_size
 
     def eval_one_epoch(self, epoch: int) -> float:
         log = self.logger
         log.log(f"---- EPOCH {epoch:03d} EVALUATION ----")
         if self.input_mode == "device":
-            pending = [
-                self._device_eval_step(self.state, self.eval_device.data,
-                                       self.eval_device.lengths, idxs, key)
-                for idxs, key in self.eval_pipe.epoch()
-            ]
+            # The whole eval epoch is ONE scan dispatch + one fetch (the
+            # eval split length is fixed, so this compiles once per run).
+            n_eval = len(self.eval_pipe)
+            if n_eval == 0:
+                log.log("eval skipped: test split smaller than one batch")
+                return float("inf")
+            (idxs, key), = self.eval_pipe.epoch_chunks(n_eval)
+            metrics = self._device_eval_chunk(
+                self.state, self.eval_device.data,
+                self.eval_device.lengths, idxs, key,
+            )
+            means = {k: float(np.mean(np.asarray(v, np.float32)))
+                     for k, v in jax.device_get(metrics).items()}
         else:
             pending = [self._eval_step(self.state, batch)
                        for batch in self.eval_pipe.epoch()]
-        if not pending:
-            log.log("eval skipped: test split smaller than one batch")
-            return float("inf")
-        fetched = jax.device_get(pending)
-        means = {
-            k: sum(float(m[k]) for m in fetched) / len(fetched)
-            for k in fetched[0]
-        }
+            if not pending:
+                log.log("eval skipped: test split smaller than one batch")
+                return float("inf")
+            means = fetch_metric_means(pending)
         log.log(f"eval mean loss: {means['loss']:.6f}")
         log.log(f"eval mean pc loss: {means['pcloss']:.6f}")
-        log.scalars("test", int(jax.device_get(self.state.step)), means)
+        log.scalars("test", self._host_step(), means)
         return means["loss"]
+
+    def _host_step(self) -> int:
+        """The global step, tracked host-side. Fetched from the device once
+        (at construction / resume); every subsequent train step advances it
+        by exactly 1, so train_one_epoch maintains it without per-epoch
+        blocking fetches."""
+        if self._step_cache is None:
+            self._step_cache = int(jax.device_get(self.state.step))
+        return self._step_cache
 
     def close(self) -> None:
         """Flush and release the logger (TensorBoard writers buffer up to

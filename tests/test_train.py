@@ -283,3 +283,47 @@ def test_trainer_warns_on_zero_batch_epoch(fixture_root, tmp_path):
     with open(os.path.join(log_dir, "log_train.txt")) as f:
         log = f.read()
     assert "0 train batches" in log and "no-op" in log
+
+
+def test_fetch_metric_means_single_transfer():
+    """The log-boundary fetch helper: means match the naive per-leaf
+    fetch, mixed dtypes are upcast, and the transfer is ONE stacked array
+    (on tunneled backends every device->host leaf costs a ~25 ms RTT, so
+    the naive jax.device_get(pending) of 10 dicts x 4 scalars dominated
+    end-to-end training wall time)."""
+    from pointnet_autoencoder_tpu.train.loop import fetch_metric_means
+
+    pending = [
+        {"loss": jnp.float32(i), "pcloss": jnp.float32(i * 0.5),
+         "bn_decay": jnp.bfloat16(0.5)}
+        for i in range(4)
+    ]
+    means = fetch_metric_means(pending)
+    assert set(means) == {"loss", "pcloss", "bn_decay"}
+    assert means["loss"] == pytest.approx(1.5)
+    assert means["pcloss"] == pytest.approx(0.75)
+    assert means["bn_decay"] == pytest.approx(0.5)
+    assert all(isinstance(v, float) for v in means.values())
+
+
+def test_trainer_host_step_tracks_device_step(fixture_root, tmp_path):
+    """The host-side step mirror (which spares the tunneled backend a
+    blocking fetch per epoch/log line) must agree with the device counter
+    across epochs and across resume."""
+    from pointnet_autoencoder_tpu.train.loop import Trainer
+
+    log_dir = str(tmp_path / "log")
+    cfg = TrainConfig(
+        model="model", category="Chair", log_dir=log_dir, num_point=64,
+        max_epoch=2, batch_size=8, data_path=fixture_root, seed=0,
+        log_every=1,
+    )
+    trainer = Trainer(cfg)
+    trainer.train()
+    assert trainer._host_step() == int(jax.device_get(trainer.state.step))
+
+    cfg2 = TrainConfig(**{**cfg.__dict__, "max_epoch": 3, "resume": True})
+    trainer2 = Trainer(cfg2)
+    assert trainer2._host_step() == int(jax.device_get(trainer2.state.step))
+    trainer2.train()
+    assert trainer2._host_step() == int(jax.device_get(trainer2.state.step))
