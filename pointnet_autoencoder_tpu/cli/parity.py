@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="RESULTS.md to append to [default: docs/RESULTS.md "
                         "next to the package]")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compilation_cache_dir", default=None,
+                   help="Persistent XLA compile cache directory (see "
+                        "cli.train); spares repeat parity runs the one-off "
+                        "jit cost that dominates short smoke runs")
     return p
 
 
@@ -125,6 +129,12 @@ def run(argv=None) -> dict:
     from pointnet_autoencoder_tpu.config import TrainConfig
     from pointnet_autoencoder_tpu.train.loop import Trainer
 
+    if args.compilation_cache_dir:
+        from pointnet_autoencoder_tpu.utils.backend import (
+            enable_compilation_cache,
+        )
+
+        enable_compilation_cache(args.compilation_cache_dir)
     cfg = TrainConfig(
         model=args.model, category=args.category, log_dir=args.log_dir,
         num_point=args.num_point, max_epoch=args.max_epoch,

@@ -93,3 +93,30 @@ def test_iterator_epochs(dataset):
                               np.asarray(items2[0][0]))
     all_idx = np.concatenate([np.asarray(i) for i, _ in items])
     assert all_idx.min() >= 0 and all_idx.max() < 20
+
+
+def test_epoch_chunks_cover_epoch_with_tail():
+    """epoch_chunks((K,B) scan batches): covers exactly len(it) batches in
+    order, full chunks of `chunk` plus one tail, unique keys per chunk,
+    and a deterministic restart under the same seed."""
+    import pytest
+
+    it = DeviceBatchIterator(8 * 7, batch_size=8, shuffle=True, seed=3)
+    chunks = list(it.epoch_chunks(3))
+    sizes = [idxs.shape[0] for idxs, _ in chunks]
+    assert sizes == [3, 3, 1]  # 7 batches -> 3 + 3 + tail 1
+    for idxs, _ in chunks:
+        assert idxs.shape[1:] == (8,) and idxs.dtype == np.int32
+    flat = np.concatenate([i.reshape(-1) for i, _ in chunks])
+    assert sorted(flat.tolist()) == list(range(56))  # a full permutation
+    keys = [np.asarray(k).tolist() for _, k in chunks]
+    assert len({tuple(k) for k in keys}) == len(keys)
+
+    it2 = DeviceBatchIterator(8 * 7, batch_size=8, shuffle=True, seed=3)
+    chunks2 = list(it2.epoch_chunks(3))
+    for (a, ka), (b, kb) in zip(chunks, chunks2):
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(np.asarray(ka), np.asarray(kb))
+
+    with pytest.raises(ValueError):
+        next(it.epoch_chunks(0))
