@@ -58,6 +58,11 @@ class TrainConfig:
     # persistent XLA compilation cache: a restarted run reloads its
     # compiled programs instead of recompiling (utils/backend.py:
     # enable_compilation_cache; measured numbers in docs/ARCHITECTURE.md)
+    async_checkpoints: bool = True
+    # checkpoint saves run on a background thread from an on-device state
+    # snapshot (train/checkpoint.py:AsyncSaver) so the device→host
+    # transfer overlaps training; content/naming/policy identical to the
+    # synchronous path. --sync_checkpoints restores blocking saves.
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)

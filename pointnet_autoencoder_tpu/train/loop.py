@@ -28,7 +28,7 @@ from __future__ import annotations
 import functools
 import signal
 import time
-from typing import Callable, Dict, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,7 +48,10 @@ from pointnet_autoencoder_tpu.models.registry import get_model_spec
 from pointnet_autoencoder_tpu.parallel import mesh as meshlib
 from pointnet_autoencoder_tpu.parallel import tp
 from pointnet_autoencoder_tpu.train import master, schedules
-from pointnet_autoencoder_tpu.train.checkpoint import CheckpointManager
+from pointnet_autoencoder_tpu.train.checkpoint import (
+    AsyncSaver,
+    CheckpointManager,
+)
 from pointnet_autoencoder_tpu.train.logging import Logger, snapshot_config
 from pointnet_autoencoder_tpu.train.state import TrainState, make_optimizer
 
@@ -285,6 +288,18 @@ class Trainer:
         self._eval_step = jax.jit(eval_step)
 
         self.ckpt = CheckpointManager(config.log_dir)
+        if config.async_checkpoints:
+            self._saver = AsyncSaver(self.ckpt, log=self.logger.log)
+            # On-device state copy: one dispatch, fresh (non-donated)
+            # buffers the worker can fetch while training continues.
+            self._snapshot_fn = jax.jit(
+                lambda t: jax.tree_util.tree_map(jnp.copy, t))
+        else:
+            self._saver = None
+            self._snapshot_fn = None
+        # (step, device snapshot): a best + periodic save in the same
+        # epoch shares one snapshot, so its bytes transfer once.
+        self._snap_cache: Optional[Tuple[int, Any]] = None
         self.start_epoch = 0
         self.best_loss = float("inf")
         # Host-side mirror of state.step (fresh state starts at 0); resume
@@ -327,6 +342,19 @@ class Trainer:
         )
 
     def _save(self, kind: str, epoch: int):
+        if self._saver is not None:
+            step = self._host_step()
+            if self._snap_cache is None or self._snap_cache[0] != step:
+                self._snap_cache = (step, self._snapshot_fn(self.state))
+            tree = {
+                "state": self._snap_cache[1],
+                "epoch": epoch + 1,
+                "best_loss": self.best_loss,
+            }
+            # The reference's "Model saved in file:" line prints from the
+            # worker when the save is durable.
+            self._saver.submit(kind, epoch, tree)
+            return
         tree = {
             "state": jax.device_get(self.state),
             "epoch": epoch + 1,
@@ -469,9 +497,14 @@ class Trainer:
         return self._step_cache
 
     def close(self) -> None:
-        """Flush and release the logger (TensorBoard writers buffer up to
-        ~2 min of events) and the checkpoint manager. A caller-supplied
-        logger stays open -- the caller may still log after train()."""
+        """Drain in-flight async saves (so every checkpoint train()
+        scheduled is durable before it returns), then flush and release
+        the logger (TensorBoard writers buffer up to ~2 min of events)
+        and the checkpoint manager. A caller-supplied logger stays open
+        -- the caller may still log after train()."""
+        if self._saver is not None:
+            self._saver.close()
+            self._saver = None
         if self._owns_logger:
             self.logger.close()
         self.ckpt.close()
@@ -485,6 +518,11 @@ class Trainer:
             f"received signal {getattr(self, '_preempt_signum', '?')}: "
             f"stopping at a step boundary"
         )
+        if self._saver is not None:
+            # Earlier async saves must land before the preemption save
+            # overwrites LATEST; the save itself is synchronous — it must
+            # be durable before the process exits.
+            self._saver.flush()
         tree = {
             "state": jax.device_get(self.state),
             "epoch": epoch,

@@ -105,6 +105,78 @@ def test_checkpoint_save_is_guarded_and_leaves_no_temp(tmp_path):
     assert not os.path.exists(p + ".saving")
 
 
+def test_async_saver_fifo_flush_and_latest(tmp_path):
+    """AsyncSaver completes saves in submit order (LATEST ends on the last
+    submit), fetches device arrays on the worker, and flush() blocks until
+    everything is durable."""
+    from pointnet_autoencoder_tpu.train.checkpoint import AsyncSaver
+
+    mgr = CheckpointManager(str(tmp_path))
+    lines = []
+    saver = AsyncSaver(mgr, log=lines.append)
+    try:
+        for epoch in range(3):
+            tree = {"state": {"w": jnp.full((4,), float(epoch))},
+                    "epoch": epoch, "best_loss": 1.0 / (epoch + 1)}
+            saver.submit("best", epoch, tree)
+        saver.submit("periodic", 2, {"state": {"w": jnp.zeros((4,))},
+                                     "epoch": 3, "best_loss": 0.25})
+        saver.flush()
+        # All four checkpoints durable, LATEST = the last submit.
+        for epoch in range(3):
+            path = str(tmp_path / f"best_model_epoch_{epoch:03d}.ckpt")
+            got = mgr.restore(path, {"state": {"w": np.zeros((4,),
+                                                            np.float32)},
+                                     "epoch": 0, "best_loss": 0.0})
+            np.testing.assert_array_equal(got["state"]["w"],
+                                          np.full((4,), float(epoch)))
+        assert mgr.latest() == str(tmp_path / "model.ckpt")
+        assert len(lines) == 4 and all("Model saved" in ln for ln in lines)
+    finally:
+        saver.close()
+
+
+def test_async_saver_error_surfaces_on_flush(tmp_path):
+    """A failed background save must fail the run at the next
+    submit/flush, not vanish."""
+    from pointnet_autoencoder_tpu.train.checkpoint import AsyncSaver
+
+    mgr = CheckpointManager(str(tmp_path))
+    saver = AsyncSaver(mgr)
+    # A non-checkpoint directory at the target makes _save raise.
+    precious = tmp_path / "model.ckpt"
+    precious.mkdir()
+    (precious / "notes.txt").write_text("precious")
+    saver.submit("periodic", 0, {"w": jnp.ones((2,))})
+    with pytest.raises(RuntimeError, match="async checkpoint save failed"):
+        saver.flush()
+    # The error is consumed; the saver keeps working afterwards.
+    (precious / "notes.txt").unlink()
+    precious.rmdir()
+    saver.submit("periodic", 0, {"w": jnp.ones((2,))})
+    saver.close()
+    assert mgr.latest() == str(tmp_path / "model.ckpt")
+
+
+def test_snapshot_survives_donation():
+    """The async path's on-device snapshot (jitted tree-map of jnp.copy)
+    must produce buffers distinct from its input: after the original is
+    DONATED into a later step, the snapshot still reads back the
+    pre-donation values. This is the aliasing assumption the whole async
+    checkpoint design rests on."""
+    snapshot = jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))
+    bump = jax.jit(lambda t: jax.tree_util.tree_map(lambda x: x + 1.0, t),
+                   donate_argnums=(0,))
+    state = {"w": jnp.arange(8.0), "b": jnp.ones((3,))}
+    snap = snapshot(state)
+    state = bump(state)  # donates the original buffers
+    got = jax.device_get(snap)
+    np.testing.assert_array_equal(got["w"], np.arange(8.0, dtype=np.float32))
+    np.testing.assert_array_equal(got["b"], np.ones((3,), np.float32))
+    np.testing.assert_array_equal(jax.device_get(state["w"]),
+                                  np.arange(1.0, 9.0, dtype=np.float32))
+
+
 @pytest.fixture(scope="module")
 def fixture_root(tmp_path_factory):
     # 48 shapes/category -> 8 test shapes per category, so the test split
