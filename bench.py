@@ -101,15 +101,21 @@ def main() -> None:
         for name in ("model_upconv", "model_fc_upconv", "model_hierachy")
     }
 
-    def time_forward(iters: int, windows: int) -> float:
+    def time_forward(iters: int, windows: int, *, b1: bool = False) -> float:
         """Serving-side evidence: the jitted eval-mode forward (encoder +
         decoder, no loss/optimizer) -- what InferenceSession compiles.
+        ``b1=True`` is the latency config (single shape, single chip,
+        whole-encoder fused kernel); otherwise the full replicated batch.
         Device programs execute in dispatch order, so one scalar fetch
         from the last dispatch is a barrier for the whole window."""
         spec = get_model_spec("model")
         model, variables = spec.init_variables(
             jax.random.PRNGKey(0), num_point, dtype=jnp.bfloat16)
-        variables = meshlib.replicate(mesh, variables)
+        if b1:
+            data = [batches[i][:1] for i in range(2)]
+        else:
+            variables = meshlib.replicate(mesh, variables)
+            data = batches
 
         def fwd(variables, pts):
             pred, _ = model.apply(variables, pts, train=False,
@@ -117,47 +123,22 @@ def main() -> None:
             return pred
 
         f = jax.jit(fwd)
-        out = f(variables, batches[0])
+        out = f(variables, data[0])
         float(out[0, 0, 0])
         best_dt = float("inf")
         for _ in range(windows):
             t0 = time.perf_counter()
             for i in range(iters):
-                out = f(variables, batches[i % 2])
+                out = f(variables, data[i % 2])
             float(out[0, 0, 0])
             best_dt = min(best_dt, time.perf_counter() - t0)
         return best_dt / iters
 
     fwd_s = time_forward(iters=200, windows=3)
-
-    def time_forward_b1(iters: int, windows: int) -> float:
-        """Latency config: the B=1 eval forward (whole-encoder fused
-        kernel; the serving latency number in docs/RESULTS.md)."""
-        spec = get_model_spec("model")
-        model, variables = spec.init_variables(
-            jax.random.PRNGKey(0), num_point, dtype=jnp.bfloat16)
-
-        def fwd(variables, pts):
-            pred, _ = model.apply(variables, pts, train=False,
-                                  bn_momentum=0.0)
-            return pred
-
-        f = jax.jit(fwd)
-        b1 = [batches[i][:1] for i in range(2)]
-        out = f(variables, b1[0])
-        float(out[0, 0, 0])
-        best_dt = float("inf")
-        for _ in range(windows):
-            t0 = time.perf_counter()
-            for i in range(iters):
-                out = f(variables, b1[i % 2])
-            float(out[0, 0, 0])
-            best_dt = min(best_dt, time.perf_counter() - t0)
-        return best_dt / iters
-
     # B=1 cannot shard over a multi-chip 'data' axis; latency is a
     # single-chip number by definition.
-    fwd_b1_s = time_forward_b1(iters=300, windows=3) if n_chips == 1 else None
+    fwd_b1_s = (time_forward(iters=300, windows=3, b1=True)
+                if n_chips == 1 else None)
 
     from pointnet_autoencoder_tpu.utils import roofline
 

@@ -145,6 +145,7 @@ def run(argv=None) -> dict:
     trainer = Trainer(cfg)
     best_loss = trainer.train()
     wall = time.time() - t0
+    trainer.close()  # checkpoints already durable (train() flushes)
 
     # The headline Chamfer comes from the eval 'pcloss' metric (raw mean
     # Chamfer, models/model.py:82), which every loss family reports --

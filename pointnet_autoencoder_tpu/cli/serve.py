@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Concurrent-connection bound (one thread each); "
                         "excess connections are refused with an error "
                         "frame [default: 256]")
+    p.add_argument("--io_timeout", type=float, default=30.0,
+                   help="Per-socket read/write deadline in seconds; a "
+                        "client stalled mid-frame is dropped after this "
+                        "long instead of pinning a connection slot "
+                        "[default: 30]")
     p.add_argument("--data_parallel", type=int, default=None,
                    help="Shard server batches over N devices")
     p.add_argument("--pipeline_parallel", action="store_true",
@@ -85,7 +90,8 @@ def main(argv=None):
     server = PointServer(session, host=args.host, port=args.port,
                          max_delay_ms=args.max_delay_ms,
                          max_pending_shapes=args.max_pending_shapes,
-                         max_connections=args.max_connections)
+                         max_connections=args.max_connections,
+                         io_timeout_s=args.io_timeout)
     print("warming up compiled programs (first compile can take minutes "
           "on a cold backend)...", flush=True)
     server.start()  # warmup runs before the socket binds

@@ -153,6 +153,7 @@ def main(argv=None) -> int:
     logger.log(config.to_json())
     trainer = Trainer(config, logger=logger)
     best = trainer.train()
+    trainer.close()  # release saver/checkpointer (train() only flushes)
     logger.log(f"done; best eval loss {best:.6f}")
     logger.close()
     return 0

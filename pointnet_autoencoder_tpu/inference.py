@@ -32,6 +32,38 @@ from pointnet_autoencoder_tpu.train.state import TrainState, make_optimizer
 _BUNDLE_META = "bundle_meta.json"
 
 
+def chunked_dispatch(run, arr: np.ndarray, chunk_size: int):
+    """Stream ``arr`` (leading axis) through ``run`` in compiled-size
+    chunks: the ragged tail is zero-padded to ``chunk_size`` (one
+    executable serves any request size), every chunk is dispatched before
+    any result is fetched (dispatch is async, so device compute overlaps
+    the host transfers), and the padding is sliced back off.
+
+    ``run(chunk)`` returns one device array or a tuple of them (``None``
+    entries stay ``None`` — the caller didn't want that output fetched).
+    Returns the concatenated array, or a tuple of them when ``run`` does.
+    Shared by ``InferenceSession._run``/``decode`` and the
+    pipeline-parallel microbatch loop (parallel/pp.py)."""
+    pending = []  # (tuple of device results, pad rows in this chunk)
+    for s in range(0, arr.shape[0], chunk_size):
+        chunk = arr[s:s + chunk_size]
+        pad = chunk_size - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad,) + chunk.shape[1:], arr.dtype)]
+            )
+        res = run(chunk)
+        pending.append((res if isinstance(res, tuple) else (res,), pad))
+    width = len(pending[0][0])
+    cols = [
+        None if pending[0][0][j] is None else np.concatenate(
+            [np.asarray(res[j])[:chunk_size - pad] for res, pad in pending]
+        )
+        for j in range(width)
+    ]
+    return tuple(cols) if width > 1 else cols[0]
+
+
 def _optimizer_candidates(ckpt_dir: str):
     """(optimizer_name, momentum) guesses for a checkpoint directory, best
     first: the run's snapshotted config.json if present, then every known
@@ -273,25 +305,15 @@ class InferenceSession:
         Only the requested outputs are transferred to the host (each fetch
         is a blocking RTT on tunneled backends); the unrequested slot comes
         back as None."""
-        n = pts.shape[0]
-        if n == 0:
+        if pts.shape[0] == 0:
             raise ValueError("got 0 input shapes")
-        bs = self.batch_size
-        preds, embs = [], []
-        for s in range(0, n, bs):
-            chunk = pts[s:s + bs]
-            pad = bs - chunk.shape[0]
-            if pad:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)]
-                )
+
+        def run(chunk):
             pred, emb = self._fwd(self._put(chunk))
-            if fetch_pred:
-                preds.append(np.asarray(pred)[:bs - pad])
-            if fetch_emb:
-                embs.append(np.asarray(emb)[:bs - pad])
-        return (np.concatenate(preds) if fetch_pred else None,
-                np.concatenate(embs) if fetch_emb else None)
+            return (pred if fetch_pred else None,
+                    emb if fetch_emb else None)
+
+        return chunked_dispatch(run, pts, self.batch_size)
 
     # -- public API -----------------------------------------------------------
 
@@ -323,21 +345,11 @@ class InferenceSession:
             emb = emb[None]
         if emb.ndim != 2:
             raise ValueError(f"expected (B, D) or (D,), got {emb.shape}")
-        n, bs = emb.shape[0], self.batch_size
-        if n == 0:
+        if emb.shape[0] == 0:
             raise ValueError("got 0 embeddings")
-        preds = []
-        for s in range(0, n, bs):
-            chunk = emb[s:s + bs]
-            pad = bs - chunk.shape[0]
-            if pad:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((pad, emb.shape[1]), np.float32)]
-                )
-            preds.append(
-                np.asarray(self._decode_fn(self._put(chunk)))[:bs - pad]
-            )
-        pred = np.concatenate(preds)
+        pred = chunked_dispatch(
+            lambda chunk: self._decode_fn(self._put(chunk)),
+            emb, self.batch_size)
         return pred[0] if single else pred
 
     def chamfer(self, pred, target) -> np.ndarray:

@@ -42,6 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from pointnet_autoencoder_tpu.inference import chunked_dispatch
 from pointnet_autoencoder_tpu.models.autoencoder import DECODERS
 from pointnet_autoencoder_tpu.nn.encoder import PointNetEncoder
 from pointnet_autoencoder_tpu.nn.layers import FC
@@ -151,18 +152,9 @@ class PipelinedSession:
 
     def _microbatched(self, run, arr: np.ndarray) -> np.ndarray:
         """Stream arr through ``run`` in microbatch chunks; all dispatches
-        are async, so stage 0 of chunk i+1 overlaps stage 1 of chunk i."""
-        mb = self._mb
-        outs = []
-        for s in range(0, arr.shape[0], mb):
-            chunk = arr[s:s + mb]
-            pad = mb - chunk.shape[0]
-            if pad:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)]
-                )
-            outs.append((run(chunk), pad))
-        return np.concatenate([np.asarray(o)[:mb - pad] for o, pad in outs])
+        are async (chunked_dispatch fetches only after the last one), so
+        stage 0 of chunk i+1 overlaps stage 1 of chunk i."""
+        return chunked_dispatch(run, arr, self._mb)
 
     def _full_forward(self, chunk: np.ndarray):
         feat = self._enc_jit(self._enc_vars,

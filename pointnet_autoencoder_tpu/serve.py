@@ -147,12 +147,18 @@ class PointServer:
         connection); excess connections get a "too many connections"
         error frame and an immediate close, so a connection flood costs
         bounded threads.
+      io_timeout_s: per-socket read/write deadline. A client that stalls
+        mid-frame (sent a header, never the payload) is dropped after
+        this long instead of pinning its connection slot forever — with
+        timeout-less sockets, max_connections half-frame connections
+        would deny service permanently.
     """
 
     def __init__(self, session, host: str = "127.0.0.1", port: int = 0,
                  max_delay_ms: float = 2.0,
                  max_pending_shapes: Optional[int] = None,
-                 max_connections: int = 256):
+                 max_connections: int = 256,
+                 io_timeout_s: float = 30.0):
         self._session = session
         self._host, self._port = host, port
         self._max_delay = max_delay_ms / 1e3
@@ -160,6 +166,7 @@ class PointServer:
                              is not None else 64 * session.batch_size)
         self._inflight = 0  # admitted shapes not yet answered (under _lock)
         self._max_conns = max_connections
+        self._io_timeout = io_timeout_s
         self._conns = 0  # live client connections (under _lock)
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         # Per-op pending lists, owned exclusively by the batcher thread;
@@ -243,6 +250,11 @@ class PointServer:
                 continue
             except OSError:
                 return
+            # Bound every read/write: a peer that stalls mid-frame (or
+            # stops draining responses) must release its slot, not hold
+            # it until process exit. A timeout mid-frame desyncs the
+            # stream, but the connection is dropped on timeout anyway.
+            conn.settimeout(self._io_timeout)
             with self._lock:
                 admit = self._conns < self._max_conns
                 if admit:
@@ -379,14 +391,20 @@ class PointServer:
     def _route_inbox(self, timeout: float) -> bool:
         """Move one inbox arrival (waiting up to ``timeout``) plus any
         others already queued into the per-op pending lists. Returns
-        whether anything arrived. Batcher thread only."""
+        whether anything arrived. Batcher thread only.
+
+        Groups key on (op, per-item shape), not op alone: two decode
+        requests with different embedding widths must never share an
+        ``np.concatenate`` (possible only before warmup learns _emb_dim,
+        e.g. ``start(warmup=False)``)."""
         try:
             item = self._queue.get(timeout=timeout) if timeout > 0.0 \
                 else self._queue.get_nowait()
         except queue.Empty:
             return False
         while True:
-            self._pending_by_op.setdefault(item.op, []).append(item)
+            key = (item.op, item.data.shape[1:])
+            self._pending_by_op.setdefault(key, []).append(item)
             try:
                 item = self._queue.get_nowait()
             except queue.Empty:
@@ -403,9 +421,9 @@ class PointServer:
         if not any(self._pending_by_op.values()):
             if not self._route_inbox(timeout=0.2):
                 return []
-        op = min((o for o, q in self._pending_by_op.items() if q),
-                 key=lambda o: self._pending_by_op[o][0].seq)
-        pend = self._pending_by_op[op]
+        key = min((k for k, q in self._pending_by_op.items() if q),
+                  key=lambda k: self._pending_by_op[k][0].seq)
+        pend = self._pending_by_op[key]
         limit = self._session.batch_size
         group: List[_Pending] = []
         total = 0
@@ -430,17 +448,23 @@ class PointServer:
             "decode": self._session.decode,
         }
         while not self._stop.is_set():
-            group = self._collect()
-            if not group:
-                continue
-            packed = np.concatenate([p.data for p in group])
-            with self._lock:
-                self._stats["batches"] += 1
-                self._stats["batched_shapes"] += packed.shape[0]
-            t0 = time.monotonic()
+            # The sole batcher thread must never die: any failure inside
+            # one iteration fails that group's requests (so their socket
+            # threads unblock with an error frame) and the loop continues.
+            group: List[_Pending] = []
             try:
+                group = self._collect()
+                if not group:
+                    continue
+                packed = np.concatenate([p.data for p in group])
+                with self._lock:
+                    self._stats["batches"] += 1
+                    self._stats["batched_shapes"] += packed.shape[0]
+                t0 = time.monotonic()
                 out = fns[group[0].op](packed)
             except Exception as e:
+                with self._lock:
+                    self._stats["errors"] += 1
                 for p in group:
                     p.error = f"{type(e).__name__}: {e}"
                     p.event.set()

@@ -44,6 +44,14 @@ class CheckpointManager:
 
     def _save(self, name: str, tree: Any) -> str:
         path = os.path.join(self.log_dir, name)
+        # Refuse before doing any work: writing the full state to the temp
+        # dir first would waste a multi-second serialize on a save that is
+        # about to be refused (and strand the temp dir).
+        if os.path.exists(path) and not _is_orbax_checkpoint(path):
+            raise ValueError(
+                f"refusing to overwrite {path}: it exists and does not "
+                "look like an orbax checkpoint"
+            )
         # Write to a sibling temp dir first, swap in only once durable: a
         # crash mid-save must never leave the tier with NO checkpoint
         # (the periodic tier is overwritten every 10 epochs).
@@ -80,16 +88,22 @@ class CheckpointManager:
         orbax checkpoint, so a mistyped destination (e.g. --out in
         cli.export pointing at an unrelated directory) cannot delete it."""
         path = os.path.abspath(path)
-        if os.path.exists(path):
-            if not _is_orbax_checkpoint(path):
-                raise ValueError(
-                    f"refusing to overwrite {path}: it exists and does not "
-                    "look like an orbax checkpoint (no checkpoint metadata "
-                    "marker). Delete it yourself or pick another path."
-                )
-            shutil.rmtree(path)
-        self._ckpt.save(path, tree)
+        if os.path.exists(path) and not _is_orbax_checkpoint(path):
+            raise ValueError(
+                f"refusing to overwrite {path}: it exists and does not "
+                "look like an orbax checkpoint (no checkpoint metadata "
+                "marker). Delete it yourself or pick another path."
+            )
+        # Same atomicity as _save: write beside, swap in once durable, so
+        # a crash mid-write cannot destroy the pre-existing checkpoint.
+        tmp = path + ".saving"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        self._ckpt.save(tmp, tree)
         self._ckpt.wait_until_finished()
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
         return path
 
     # -- restore ------------------------------------------------------------

@@ -52,7 +52,16 @@ class Logger:
             for k, v in values.items():
                 writer.add_scalar(k, float(v), int(step))
 
+    def flush(self) -> None:
+        """Make everything logged so far durable without closing: the text
+        and scalars files flush on every write; TensorBoard writers buffer
+        (up to ~2 min of events) and are the reason this exists."""
+        for w in self._tb.values():
+            w.flush()
+
     def close(self) -> None:
+        if self._fh.closed:  # idempotent
+            return
         self._fh.close()
         self._scalars.close()
         for w in self._tb.values():

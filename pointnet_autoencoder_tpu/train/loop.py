@@ -159,6 +159,7 @@ class Trainer:
                  logger: Optional[Logger] = None):
         self.config = config
         self._owns_logger = logger is None
+        self._closed = False
         self.logger = logger or Logger(config.log_dir)
         snapshot_config(config.log_dir, config)
 
@@ -496,12 +497,24 @@ class Trainer:
             self._step_cache = int(jax.device_get(self.state.step))
         return self._step_cache
 
+    def flush(self) -> None:
+        """Make every checkpoint and log record scheduled so far durable
+        WITHOUT releasing anything: drains in-flight async saves and
+        flushes the logger's buffered TensorBoard writers. train() calls
+        this on exit, so a preempted Trainer stays fully usable for a
+        follow-up train()/eval_one_epoch() in the same process."""
+        if self._saver is not None:
+            self._saver.flush()
+        self.logger.flush()
+
     def close(self) -> None:
-        """Drain in-flight async saves (so every checkpoint train()
-        scheduled is durable before it returns), then flush and release
-        the logger (TensorBoard writers buffer up to ~2 min of events)
-        and the checkpoint manager. A caller-supplied logger stays open
-        -- the caller may still log after train()."""
+        """Release the async saver, the checkpoint manager, and (if this
+        Trainer created it) the logger. Idempotent. After close() the
+        Trainer cannot train or save again -- embedded callers that
+        re-train a preempted Trainer must not close it in between."""
+        if self._closed:
+            return
+        self._closed = True
         if self._saver is not None:
             self._saver.close()
             self._saver = None
@@ -612,4 +625,7 @@ class Trainer:
             return self.best_loss
         finally:
             restore_signals()
-            self.close()
+            # Durability without teardown: a preempted (or finished)
+            # Trainer must remain re-trainable in-process; callers that
+            # are done with it call close().
+            self.flush()

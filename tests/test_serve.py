@@ -489,3 +489,81 @@ def test_decode_wrong_embedding_dim_rejected_cleanly(server):
             c.decode(np.zeros((2, 7), np.float32))
         out = c.reconstruct(np.zeros((NUM_POINT, 3), np.float32))
         assert out.shape == (NUM_POINT, 3)
+
+
+def test_stalled_midframe_client_is_dropped_and_slot_reclaimed(session):
+    """A client that sends a frame header and then stalls must be dropped
+    after io_timeout_s instead of pinning its connection slot forever:
+    with max_connections=1, the slot frees up for a real client. (With
+    timeout-less sockets, max_connections half-frame connections were a
+    permanent denial of service.)"""
+    import socket
+    import struct
+    import time
+
+    srv = PointServer(session, port=0, max_delay_ms=1.0,
+                      max_connections=1, io_timeout_s=0.5).start()
+    try:
+        staller = socket.create_connection(("127.0.0.1", srv.port))
+        header = json.dumps(
+            {"op": "reconstruct", "shape": [1, NUM_POINT, 3]}).encode()
+        # Header promises a float32 payload that never arrives.
+        staller.sendall(struct.pack(">I", len(header)) + header)
+        staller.settimeout(10.0)
+        assert staller.recv(1) == b""  # server closed the stalled conn
+        staller.close()
+        # The slot is reclaimed: a fresh client gets served.
+        deadline = time.time() + 10.0
+        while True:
+            try:
+                with PointClient("127.0.0.1", srv.port, timeout=5.0) as c:
+                    c.ping()
+                break
+            except (RuntimeError, OSError):
+                if time.time() > deadline:
+                    raise
+                time.sleep(0.1)
+    finally:
+        srv.stop()
+
+
+def test_decode_groups_key_on_embedding_width(session):
+    """Before warmup learns _emb_dim (start(warmup=False)), decode
+    requests with different embedding widths must never share one
+    np.concatenate group — groups key on (op, per-item shape)."""
+    from pointnet_autoencoder_tpu.serve import _Pending
+
+    srv = PointServer(session, port=0, max_delay_ms=1.0)
+    a = _Pending("decode", np.zeros((1, 8), np.float32))
+    b = _Pending("decode", np.zeros((1, 16), np.float32))
+    srv._queue.put(a)
+    srv._queue.put(b)
+    first = srv._collect()
+    assert {p.data.shape[1] for p in first} == {8}
+    second = srv._collect()
+    assert {p.data.shape[1] for p in second} == {16}
+
+
+def test_batcher_survives_unexpected_exception(session):
+    """The sole batcher thread must outlive any per-iteration failure:
+    an exception outside the dispatch call fails that group (if any) and
+    the loop continues, instead of silently wedging the server."""
+    srv = PointServer(session, port=0, max_delay_ms=1.0)
+    calls = {"n": 0}
+    orig = srv._collect
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected batcher failure")
+        return orig()
+
+    srv._collect = flaky  # patched before the batcher thread exists
+    srv.start()
+    try:
+        with PointClient("127.0.0.1", srv.port) as c:
+            out = c.reconstruct(_clouds(1, seed=31)[0])
+            assert out.shape == (NUM_POINT, 3)
+            assert c.stats()["errors"] >= 1
+    finally:
+        srv.stop()

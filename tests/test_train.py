@@ -92,6 +92,15 @@ def test_checkpoint_save_is_guarded_and_leaves_no_temp(tmp_path):
     with pytest.raises(ValueError, match="refusing to overwrite"):
         mgr.save_periodic(tree)
     assert (precious / "notes.txt").read_text() == "not a checkpoint"
+    # The guard runs BEFORE serialization: a refused save must not have
+    # wasted a full state write into (and stranded) the temp dir.
+    assert not (tmp_path / "model.ckpt.saving").exists()
+    # save_tree shares the guard and the temp-then-rename atomicity.
+    with pytest.raises(ValueError, match="refusing to overwrite"):
+        mgr.save_tree(str(precious), tree)
+    assert not (tmp_path / "model.ckpt.saving").exists()
+    other = mgr.save_tree(str(tmp_path / "bundle.ckpt"), tree)
+    assert os.path.isdir(other) and not os.path.exists(other + ".saving")
 
     import shutil
     shutil.rmtree(precious)
@@ -212,6 +221,36 @@ def test_trainer_end_to_end(fixture_root, tmp_path):
     trainer2 = Trainer(cfg2)
     assert trainer2.start_epoch >= 1
     assert np.isfinite(trainer2.best_loss)
+
+
+def test_trainer_retrainable_after_train(fixture_root, tmp_path):
+    """train() must not tear the Trainer down: embedded callers retrain a
+    preempted (or finished) Trainer in-process, so the logger, async
+    saver, and checkpoint manager all survive train()'s exit; close() is
+    the explicit teardown and is idempotent."""
+    from pointnet_autoencoder_tpu.train.loop import Trainer
+
+    log_dir = str(tmp_path / "log")
+    cfg = TrainConfig(
+        model="model", category="Chair", log_dir=log_dir, num_point=64,
+        max_epoch=1, batch_size=8, data_path=fixture_root, seed=0,
+        log_every=1,
+    )
+    trainer = Trainer(cfg)
+    best1 = trainer.train()
+    step1 = int(jax.device_get(trainer.state.step))
+    # Second train() on the SAME instance: logs, checkpoints (the eval
+    # improves on epoch 0's, so a best save fires through the saver),
+    # and returns — this raised 'I/O operation on closed file' when
+    # train() closed the Trainer in its finally.
+    best2 = trainer.train()
+    assert np.isfinite(best1) and np.isfinite(best2)
+    assert int(jax.device_get(trainer.state.step)) == 2 * step1
+    assert trainer.ckpt.latest() is not None
+    loss3 = trainer.eval_one_epoch(1)  # post-train eval also works
+    assert np.isfinite(loss3)
+    trainer.close()
+    trainer.close()  # idempotent
 
 
 def test_trainer_model_parallel(fixture_root, tmp_path):
