@@ -247,7 +247,13 @@ def _post_warmup_throughput(log_dir: str, batch_size: int,
         return None
     dt = recs[-1]["time"] - recs[0]["time"]
     dstep = recs[-1]["step"] - recs[0]["step"]
-    if dt <= 0 or dstep <= 0:
+    # Device-input epochs write ALL of an epoch's train records in one
+    # burst at the epoch end (the scalars are fetched after the scan
+    # dispatch), so a single-epoch run's timestamps span milliseconds and
+    # the slope would be absurd. A real slope needs records from at least
+    # two dispatch groups; 1 s is far above any burst and far below any
+    # real multi-epoch span.
+    if dt < 1.0 or dstep <= 0:
         return None
     return dstep * batch_size / dt
 

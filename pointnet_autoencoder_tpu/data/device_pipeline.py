@@ -62,7 +62,10 @@ class DeviceDataset:
         # above filled the host dataset's item cache (hundreds of MB at
         # real-archive scale) that device mode never reads again. Drop it;
         # it refills lazily if a host-mode consumer shares the dataset.
-        dataset._cache.clear()
+        # (hasattr guard: this class only requires len/__getitem__, so
+        # duck-typed datasets without an item cache are fine.)
+        if hasattr(dataset, "drop_item_cache"):
+            dataset.drop_item_cache()
 
     def nbytes(self) -> int:
         return self.data.size * 4 + self.lengths.size * 4

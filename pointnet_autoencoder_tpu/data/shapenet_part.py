@@ -21,6 +21,7 @@ through an explicit ``numpy.random.Generator`` so epochs are reproducible.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -137,6 +138,13 @@ class PartDataset:
         self.num_seg_classes = self._scan_seg_classes()
         self._cache: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
+    def drop_item_cache(self) -> None:
+        """Release the in-RAM item cache (hundreds of MB at real-archive
+        scale). Safe any time: items re-decode (and re-cache) lazily on
+        the next access. Device-input mode calls this after uploading the
+        whole dataset to HBM (data/device_pipeline.py)."""
+        self._cache.clear()
+
     def _load_split_ids(self, split: str):
         def ids(name):
             path = os.path.join(self.root, "train_test_split",
@@ -166,7 +174,13 @@ class PartDataset:
             return None
         synset = os.path.basename(os.path.dirname(os.path.dirname(pts_path)))
         token = os.path.splitext(os.path.basename(pts_path))[0]
-        return os.path.join(self.cache_dir, f"{synset}_{token}.npz")
+        # Key on the absolute source path too: two dataset roots sharing a
+        # cache_dir reuse synset/token names, and an mtime-only check
+        # would silently serve one dataset's points for the other's.
+        root_tag = hashlib.sha1(
+            os.path.abspath(pts_path).encode()).hexdigest()[:8]
+        return os.path.join(self.cache_dir,
+                            f"{synset}_{token}_{root_tag}.npz")
 
     def _decode(self, pts_path: str, seg_path: str):
         """Raw (points f32, 1-based seg i64), via the on-disk cache when

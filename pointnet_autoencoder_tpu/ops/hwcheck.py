@@ -137,8 +137,11 @@ def check_fused_encoder(b=2, n=64, seed=3):
         jl.append(tuple(map(jnp.asarray, (w, bias, gamma, beta, mean, var))))
         c = fw
     ref = ref.max(axis=1)
-    out = jax.device_get(jax.jit(
-        lambda p: fused_encoder.fused_encoder_eval(p, jl))(pts))
+    # Layers go in as jit ARGUMENTS, not closure constants: a closed-over
+    # graph constant-folds into a different executable than the arg-passing
+    # program InferenceSession compiles (and on axon, closure-constant
+    # gather graphs have produced wrong numerics — see CLAUDE.md).
+    out = jax.device_get(jax.jit(fused_encoder.fused_encoder_eval)(pts, jl))
     _check("fused_encoder eval fwd", _maxerr(out, ref), 1e-4)
 
 

@@ -94,10 +94,23 @@ def recv_message(sock: socket.socket) -> Tuple[dict, Optional[np.ndarray]]:
     if hlen > _MAX_HEADER:
         raise ValueError(f"header too large ({hlen} bytes)")
     header = json.loads(_read_exact(sock, hlen))
+    # Everything malformed must surface as ValueError (the one-connection
+    # error path); raw AttributeError/TypeError from a non-dict header or
+    # non-integer shape entries would kill the client thread instead.
+    if not isinstance(header, dict):
+        raise ValueError(f"header must be a JSON object, got "
+                         f"{type(header).__name__}")
     payload = None
     shape = header.get("shape")
     if shape:
-        count = int(np.prod(shape))
+        if (not isinstance(shape, list)
+                or not all(isinstance(d, int) and not isinstance(d, bool)
+                           and d >= 0 for d in shape)):
+            raise ValueError(f"shape must be a list of non-negative "
+                             f"integers, got {shape!r}")
+        count = 1  # python ints: no silent int64 overflow on huge dims
+        for d in shape:
+            count *= d
         nbytes = count * 4
         if nbytes > _MAX_PAYLOAD:
             raise ValueError(f"payload too large ({nbytes} bytes)")

@@ -34,6 +34,22 @@ def _is_orbax_checkpoint(path: str) -> bool:
     )
 
 
+def _swap_in(tmp: str, path: str) -> None:
+    """Replace ``path`` with the finished checkpoint at ``tmp`` without a
+    window in which no complete checkpoint exists under a durable name:
+    the old checkpoint is renamed aside (atomic) rather than deleted
+    first, so a crash at any instant leaves a complete checkpoint at
+    ``path``, ``path + '.old'``, or ``tmp`` — and ``latest()`` knows to
+    fall back to the siblings."""
+    old = path + ".old"
+    if os.path.exists(path):
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 class CheckpointManager:
     def __init__(self, log_dir: str):
         self.log_dir = os.path.abspath(log_dir)
@@ -60,14 +76,12 @@ class CheckpointManager:
             shutil.rmtree(tmp)
         self._ckpt.save(tmp, tree)
         self._ckpt.wait_until_finished()
-        if os.path.exists(path):
-            if not _is_orbax_checkpoint(path):
-                raise ValueError(
-                    f"refusing to overwrite {path}: it exists and does not "
-                    "look like an orbax checkpoint"
-                )
-            shutil.rmtree(path)
-        os.rename(tmp, path)
+        if os.path.exists(path) and not _is_orbax_checkpoint(path):
+            raise ValueError(  # re-check: the slow write above is a window
+                f"refusing to overwrite {path}: it exists and does not "
+                "look like an orbax checkpoint"
+            )
+        _swap_in(tmp, path)
         # Pointer to the most recently written checkpoint, so resume picks
         # the newest regardless of which policy tier wrote it.
         with open(os.path.join(self.log_dir, "LATEST"), "w") as f:
@@ -101,9 +115,7 @@ class CheckpointManager:
             shutil.rmtree(tmp)
         self._ckpt.save(tmp, tree)
         self._ckpt.wait_until_finished()
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.rename(tmp, path)
+        _swap_in(tmp, path)
         return path
 
     # -- restore ------------------------------------------------------------
@@ -124,8 +136,13 @@ class CheckpointManager:
         if os.path.exists(pointer):
             with open(pointer) as f:
                 path = os.path.join(self.log_dir, f.read().strip())
-            if os.path.isdir(path):
-                return path
+            # A crash mid-swap (_swap_in) can leave the pointed name
+            # briefly absent while a complete checkpoint sits at the
+            # rename-aside or temp sibling; resume from those rather than
+            # discarding the run.
+            for candidate in (path, path + ".old", path + ".saving"):
+                if _is_orbax_checkpoint(candidate):
+                    return candidate
         best = -1
         best_path = None
         if os.path.isdir(self.log_dir):

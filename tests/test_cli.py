@@ -184,6 +184,18 @@ def test_parity_scan_helpers(tmp_path):
     assert parity._post_warmup_throughput(str(log), 16, since=24.0) is None
     assert parity._eval_pcloss_at_best_loss(str(tmp_path / "none")) is None
 
+    # A single-epoch device-input run writes ALL its train records in one
+    # burst at the epoch end (timestamps milliseconds apart); the slope
+    # over that burst is meaningless and must be refused, not recorded as
+    # millions of shapes/s.
+    burst = tmp_path / "burst"
+    burst.mkdir()
+    with open(burst / "scalars.jsonl", "w") as f:
+        for i, t in ((10, 100.000), (20, 100.004), (30, 100.009)):
+            f.write(_json.dumps(
+                {"split": "train", "step": i, "time": t, "loss": 1.0}) + "\n")
+    assert parity._post_warmup_throughput(str(burst), 16) is None
+
 
 def test_fixture_variable_points(tmp_path):
     from pointnet_autoencoder_tpu.data import synthetic

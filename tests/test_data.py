@@ -283,6 +283,36 @@ def test_disk_cache_invalidated_by_source_mtime(tmp_path):
     assert pts.shape[0] == 2 and pts[0, 0] == 9.0
 
 
+def test_disk_cache_keys_on_source_path(tmp_path):
+    """Two dataset roots sharing one cache_dir reuse synset/token file
+    names; entries must key on the source path so dataset B never gets
+    served dataset A's cached points (an mtime-only check passes whenever
+    A was cached after B's files were written)."""
+    root_a = synthetic.write_fixture(str(tmp_path / "a"),
+                                     shapes_per_category=2,
+                                     points_per_shape=16, seed=1)
+    root_b = synthetic.write_fixture(str(tmp_path / "b"),
+                                     shapes_per_category=2,
+                                     points_per_shape=16, seed=2)
+    cache = str(tmp_path / "cache")
+    ds_a = PartDataset(root_a, npoints=8, split="train", seed=0,
+                       cache_dir=cache)
+    ds_b = PartDataset(root_b, npoints=8, split="train", seed=0,
+                       cache_dir=cache)
+    _, pa, sa = ds_a.datapath[0]
+    _, pb, sb = ds_b.datapath[0]
+    assert os.path.basename(pa) == os.path.basename(pb)  # names collide
+    pts_a, _ = ds_a._decode(pa, sa)  # caches A first
+    # Make A's cache entry newer than B's sources (the collision setup).
+    future = os.path.getmtime(pb) + 10
+    os.utime(ds_a._disk_cache_path(pa), (future, future))
+    pts_b, _ = ds_b._decode(pb, sb)
+    ref_b = PartDataset(root_b, npoints=8, split="train", seed=0)
+    pts_ref, _ = ref_b._decode(pb, sb)
+    np.testing.assert_array_equal(pts_b, pts_ref)
+    assert not np.array_equal(pts_a, pts_b)
+
+
 def test_disk_cache_corrupt_entry_falls_through(fixture_root, tmp_path):
     """A torn/corrupt cache file must be silently re-decoded from source,
     never crash the loader."""

@@ -120,3 +120,20 @@ def test_epoch_chunks_cover_epoch_with_tail():
 
     with pytest.raises(ValueError):
         next(it.epoch_chunks(0))
+
+
+def test_device_dataset_accepts_duck_typed_dataset():
+    """DeviceDataset's contract is len() + _load(); a dataset without an
+    in-RAM item cache (no drop_item_cache method) must upload fine — the
+    cache eviction is a guarded optimization, not a requirement."""
+
+    class Tiny:
+        def __len__(self):
+            return 3
+
+        def _load(self, i):
+            return np.full((4 + i, 3), float(i), np.float32), None, None
+
+    dd = DeviceDataset(Tiny())
+    assert dd.num_shapes == 3
+    assert np.asarray(dd.lengths).tolist() == [4, 5, 6]

@@ -367,6 +367,13 @@ def test_malformed_frames_do_not_kill_the_server(server, session):
         raw(b'{"op": "reconstruct", "shape": [-4, 64, 3]}'),
         raw(b'{"op": "embed", "shape": [1]}') + b"\x00",  # short payload
         b"\xff\xff",                                      # truncated length
+        raw(b"[1, 2, 3]"),                                # non-dict header
+        raw(b'"hello"'),                                  # non-dict header
+        raw(b'{"op": "reconstruct", "shape": ["a", 3]}'),  # non-int dims
+        raw(b'{"op": "reconstruct", "shape": [true, 64, 3]}'),  # bool dims
+        # dims whose product overflows int64 (must not wrap negative)
+        raw(b'{"op": "reconstruct", '
+            b'"shape": [4611686018427387904, 4611686018427387904]}'),
     ]
     for attack in attacks:
         s = socket.create_connection(("127.0.0.1", server.port), timeout=10)

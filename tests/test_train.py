@@ -114,6 +114,26 @@ def test_checkpoint_save_is_guarded_and_leaves_no_temp(tmp_path):
     assert not os.path.exists(p + ".saving")
 
 
+def test_latest_falls_back_to_swap_siblings(tmp_path):
+    """A crash between _swap_in's renames can leave the pointed name
+    briefly absent while the complete checkpoint sits at the .old (or
+    .saving) sibling; latest() must resume from it instead of discarding
+    the run."""
+    mgr = CheckpointManager(str(tmp_path))
+    tree = {"w": np.ones((2,), np.float32)}
+    p = mgr.save_periodic(tree)
+    # Simulate a crash after `rename(path, path.old)` and before
+    # `rename(tmp, path)`.
+    os.rename(p, p + ".old")
+    got = mgr.latest()
+    assert got == p + ".old"
+    restored = mgr.restore(got, tree)
+    np.testing.assert_array_equal(restored["w"], np.ones((2,)))
+    # ...and after `save(tmp)` but before any rename (.saving survives).
+    os.rename(p + ".old", p + ".saving")
+    assert mgr.latest() == p + ".saving"
+
+
 def test_async_saver_fifo_flush_and_latest(tmp_path):
     """AsyncSaver completes saves in submit order (LATEST ends on the last
     submit), fetches device arrays on the worker, and flush() blocks until
