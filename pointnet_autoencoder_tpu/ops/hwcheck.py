@@ -145,12 +145,60 @@ def check_fused_encoder(b=2, n=64, seed=3):
     _check("fused_encoder eval fwd", _maxerr(out, ref), 1e-4)
 
 
-def main() -> int:
+def fuzz(draws: int = 8, seed0: int = 100) -> None:
+    """Shape-fuzz the loss kernels on the attached accelerator.
+
+    The CPU suite fuzzes shapes in interpret mode, but Mosaic layout and
+    precision behavior only exists in *compiled* kernels (CLAUDE.md lists
+    two whole bug classes — i1-mask relayouts, single-pass bf16 matmuls —
+    that interpret mode cannot exhibit). The first draws are strategic:
+    tile-boundary +-1 (the Pallas Chamfer pads to 512), B=1, single-point
+    clouds, and extreme N:M ratios (the capacity-factor paths); the rest
+    are random. Each draw compiles fresh programs, so runtime is
+    compile-bound — pass --compilation_cache_dir to make repeats cheap."""
+    rng = np.random.RandomState(seed0)
+    pool = [(1, 511, 513), (2, 512, 512), (3, 1023, 65), (1, 64, 2048),
+            (2, 2048, 64), (4, 129, 127), (1, 1, 1), (2, 513, 511)]
+    for t in range(draws):
+        if t < len(pool):
+            b, n, m = pool[t]
+        else:
+            b = int(rng.randint(1, 5))
+            n = int(rng.randint(1, 1500))
+            m = int(rng.randint(1, 1500))
+        print(f"-- fuzz draw {t}: chamfer b={b} n={n} m={m}")
+        check_chamfer(b=b, n=n, m=m, seed=1000 + t)
+        # EMD's annealing scan is compile-heavy; cap the cloud sizes.
+        be, ne, me = min(b, 2), min(n, 512), min(m, 512)
+        print(f"-- fuzz draw {t}: emd b={be} n={ne} m={me}")
+        check_emd(b=be, n=ne, m=me, seed=2000 + t)
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--fuzz", type=int, default=0, metavar="K",
+                   help="after the fixed contracts, fuzz K extra shape "
+                        "draws (tile boundaries, B=1, extreme N:M, then "
+                        "random) through chamfer and emd on the hardware")
+    p.add_argument("--compilation_cache_dir", default=None,
+                   help="persistent XLA compile cache (fuzz repeats are "
+                        "compile-bound without it)")
+    args = p.parse_args(argv)
+    if args.compilation_cache_dir:
+        from pointnet_autoencoder_tpu.utils.backend import (
+            enable_compilation_cache,
+        )
+
+        enable_compilation_cache(args.compilation_cache_dir)
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
     check_chamfer()
     check_emd()
     check_fused_head()
     check_fused_encoder()
+    if args.fuzz:
+        fuzz(args.fuzz)
     if _FAILURES:
         print(f"{len(_FAILURES)} FAILURES: {_FAILURES}")
         return 1
