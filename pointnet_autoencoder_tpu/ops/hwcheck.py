@@ -145,6 +145,13 @@ def check_fused_encoder(b=2, n=64, seed=3):
     _check("fused_encoder eval fwd", _maxerr(out, ref), 1e-4)
 
 
+# Strategic first draws for fuzz(): Pallas tile boundaries +-1, B=1,
+# single-point clouds, extreme N:M (module-level so the test suite can
+# substitute small shapes when smoking the harness on the CPU backend).
+_FUZZ_POOL = [(1, 511, 513), (2, 512, 512), (3, 1023, 65), (1, 64, 2048),
+              (2, 2048, 64), (4, 129, 127), (1, 1, 1), (2, 513, 511)]
+
+
 def fuzz(draws: int = 8, seed0: int = 100) -> None:
     """Shape-fuzz the loss kernels on the attached accelerator.
 
@@ -157,8 +164,7 @@ def fuzz(draws: int = 8, seed0: int = 100) -> None:
     are random. Each draw compiles fresh programs, so runtime is
     compile-bound — pass --compilation_cache_dir to make repeats cheap."""
     rng = np.random.RandomState(seed0)
-    pool = [(1, 511, 513), (2, 512, 512), (3, 1023, 65), (1, 64, 2048),
-            (2, 2048, 64), (4, 129, 127), (1, 1, 1), (2, 513, 511)]
+    pool = _FUZZ_POOL
     for t in range(draws):
         if t < len(pool):
             b, n, m = pool[t]
