@@ -288,3 +288,84 @@ def emd_loss_point_sharded(pred: jax.Array, label: jax.Array, mesh: Mesh,
     training loss contract (models/model_emd.py:86-88) with the label
     cloud's points sharded over the mesh."""
     return jnp.mean(emd_cost_point_sharded(label, pred, mesh, axis=axis))
+
+
+# ---------------------------------------------------------------------------
+# Full point-sharded train step
+# ---------------------------------------------------------------------------
+#
+# The losses above shard the O(N*M) pairwise work; the rest of the train
+# step shards for free: the PointNet encoder is pointwise Dense layers +
+# a max over points (models/model.py:43-64), so with the batch's POINT axis
+# sharded over the mesh, GSPMD partitions the per-point matmuls locally and
+# inserts the max-over-points and BatchNorm batch-statistics reductions as
+# collectives -- numerically the same global-batch statistics as DP/single
+# device. The decoder consumes the replicated (B, 1024) feature and its
+# output is pinned replicated at the loss seam (it is the M-side cloud of
+# both SP losses). Together this is the true long-N training mode: one
+# batch whose clouds exceed a single chip's sweep trains across the mesh
+# with every O(N*M) term sharded.
+
+
+def point_batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
+    """Sharding for a (B, N, 3) batch with the POINT axis sharded."""
+    return NamedSharding(mesh, P(None, axis, None))
+
+
+def sp_loss_fn(name: str, mesh: Mesh, axis: str = DATA_AXIS):
+    """Point-sharded analog of the registry loss contracts
+    (models/autoencoder.py: chamfer_x100_loss / emd_loss_fn /
+    hierarchy_loss_fn). The label (input) cloud is the sharded side;
+    predictions stay replicated. Loss values equal the unsharded contracts
+    because mean(d_fwd) + mean(d_bwd) is symmetric in the argument order
+    (only the direction labels swap), up to f32 summation order."""
+
+    def chamfer100(pred, label, end_points):
+        pcloss = chamfer_loss_point_sharded(label, pred, mesh, axis=axis)
+        return pcloss * 100.0, {"pcloss": pcloss}
+
+    if name in ("model", "model_cpu", "model_upconv", "model_fc_upconv"):
+        return chamfer100
+    if name == "model_emd":
+
+        def emd_fn(pred, label, end_points):
+            pcloss = chamfer_loss_point_sharded(label, pred, mesh, axis=axis)
+            loss = emd_loss_point_sharded(pred, label, mesh, axis=axis)
+            return loss, {"pcloss": pcloss}
+
+        return emd_fn
+    if name == "model_hierachy":
+
+        def hierarchy_fn(pred, label, end_points):
+            pcloss = chamfer_loss_point_sharded(label, pred, mesh, axis=axis)
+            pc1 = chamfer_loss_point_sharded(label, end_points["pc1_xyz"],
+                                             mesh, axis=axis)
+            loss = (pcloss + 0.1 * pc1) * 100.0
+            return loss, {"pcloss": pcloss, "pc1loss": pc1}
+
+        return hierarchy_fn
+    raise ValueError(f"no point-sharded loss for config {name!r}")
+
+
+def make_sp_step_fns(model, spec, tx, bn_schedule, lr_schedule, mesh: Mesh,
+                     axis: str = DATA_AXIS):
+    """(train_step, eval_step) with the batch's point axis sharded.
+
+    Same contract as train.loop.make_step_fns; callers feed batches placed
+    with ``point_batch_sharding(mesh)``. The decoder output is constrained
+    replicated (it is the M-side cloud of the SP losses; its compute is
+    O(N) against the losses' O(N^2/k) and the hierarchy/fc decoders keep it
+    small). Encoder sharding falls out of GSPMD propagation from the batch
+    sharding -- on meshes where the conv5 fused head lowers to Pallas,
+    GSPMD keeps the kernel correct regardless of how it chooses to place
+    it; the statistics matmuls (fused_head.head_stats) partition into
+    local matmuls + psum.
+    """
+    import dataclasses
+
+    from pointnet_autoencoder_tpu.train.loop import make_step_fns
+
+    sp_spec = dataclasses.replace(
+        spec, loss_fn=sp_loss_fn(spec.name, mesh, axis))
+    return make_step_fns(model, sp_spec, tx, bn_schedule, lr_schedule,
+                         pred_sharding=NamedSharding(mesh, P()))

@@ -489,6 +489,77 @@ def test_point_sharded_emd_grads_match_unsharded():
                                    rtol=1e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("config", ["model", "model_hierachy"])
+def test_sp_train_step_matches_single_device(config):
+    """Full point-sharded train step (sp.make_sp_step_fns): one step with
+    the batch's POINT axis sharded over all 8 devices must reproduce the
+    single-device step -- same loss/pcloss (the SP losses are exact up to
+    f32 summation order) and same BN moving stats (GSPMD's point-axis
+    statistics reductions keep global-batch semantics)."""
+    from pointnet_autoencoder_tpu.parallel import sp
+
+    n_point, batch = 128, 4
+    spec = get_model_spec(config)
+    model, variables = spec.init_variables(
+        jax.random.PRNGKey(0), n_point, batch)
+    lr = schedules.learning_rate_schedule(0.001, 0.7, batch, 200000)
+    bn = schedules.bn_momentum_schedule(batch, 200000)
+    tx = make_optimizer("adam", lr)
+    batch_arr = jax.random.normal(jax.random.PRNGKey(9),
+                                  (batch, n_point, 3))
+
+    train_step, _ = make_step_fns(model, spec, tx, bn, lr)
+    state0 = TrainState.create(variables, tx)
+    s1, m1 = jax.jit(train_step)(state0, jax.device_put(batch_arr,
+                                                        jax.devices()[0]))
+
+    mesh = meshlib.make_mesh()
+    sp_step, _ = sp.make_sp_step_fns(model, spec, tx, bn, lr, mesh)
+    state_sp = meshlib.replicate(mesh, TrainState.create(variables, tx))
+    sharded = jax.device_put(batch_arr, sp.point_batch_sharding(mesh))
+    assert sharded.addressable_shards[0].data.shape == (batch, 16, 3)
+    s_sp, m_sp = jax.jit(sp_step)(state_sp, sharded)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m_sp["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m1["pcloss"]), float(m_sp["pcloss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s1.batch_stats)),
+                    jax.tree_util.tree_leaves(
+                        jax.device_get(s_sp.batch_stats))):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=2e-5)
+
+
+def test_sp_train_step_emd_family():
+    """model_emd composes the per-level-psum SP EMD with the SP Chamfer
+    metric inside one jitted step; loss must match single-device."""
+    from pointnet_autoencoder_tpu.parallel import sp
+
+    n_point, batch = 64, 4
+    spec = get_model_spec("model_emd")
+    model, variables = spec.init_variables(
+        jax.random.PRNGKey(0), n_point, batch)
+    lr = schedules.learning_rate_schedule(0.001, 0.7, batch, 200000)
+    bn = schedules.bn_momentum_schedule(batch, 200000)
+    tx = make_optimizer("adam", lr)
+    batch_arr = jax.random.normal(jax.random.PRNGKey(3),
+                                  (batch, n_point, 3))
+
+    train_step, _ = make_step_fns(model, spec, tx, bn, lr)
+    _, m1 = jax.jit(train_step)(TrainState.create(variables, tx),
+                                jax.device_put(batch_arr, jax.devices()[0]))
+
+    mesh = meshlib.make_mesh()
+    sp_step, _ = sp.make_sp_step_fns(model, spec, tx, bn, lr, mesh)
+    state_sp = meshlib.replicate(mesh, TrainState.create(variables, tx))
+    _, m_sp = jax.jit(sp_step)(
+        state_sp, jax.device_put(batch_arr, sp.point_batch_sharding(mesh)))
+    np.testing.assert_allclose(float(m1["loss"]), float(m_sp["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(m1["pcloss"]), float(m_sp["pcloss"]),
+                               rtol=1e-5)
+
+
 def test_graft_entry_compiles():
     fn, args = __graft_entry__.entry()
     lowered = jax.jit(fn).lower(*args)
