@@ -223,6 +223,103 @@ def _emd_forward(xyz1: jax.Array, xyz2: jax.Array):
     return cost, grad1, grad2
 
 
+# Materialization ceiling for the dense scan: one (B,N,M) f32 buffer past
+# this routes to the streaming path instead (the dense program keeps ~6
+# such buffers live -- d2/d/rinv plus the per-level k/w/wd -- so 1 GiB here
+# means ~6 GiB peak, safely inside a 16 GB v5e while leaving training state
+# room; past it the old behavior was an OOM cliff, round-3 verdict item #3).
+_DENSE_BYTES_LIMIT = 1 << 30
+
+
+def _pick_row_chunk(b: int, n: int, m: int,
+                    budget_bytes: int = 256 * 1024 * 1024) -> int:
+    """Largest divisor of n whose (B, chunk, M) f32 buffer fits the budget
+    (>= 1 always: a prime N streams row by row)."""
+    limit = max(1, budget_bytes // (4 * b * m))
+    best = 1
+    for c in range(1, min(n, limit) + 1):
+        if n % c == 0:
+            best = c
+    return best
+
+
+def _emd_forward_chunked(xyz1: jax.Array, xyz2: jax.Array):
+    """Annealed matching with fused cost/grad accumulation, streaming over
+    row (xyz1) chunks -- the non-materializing large-N path.
+
+    Same math as ``_emd_forward`` restructured as the Pallas kernel's
+    two-pass level loop (and the SP decomposition of parallel/sp.py, with
+    chunks in place of shards): per level, pass A recomputes each chunk's
+    distances to produce row normalizers and the global column sums; after
+    the (sequential) column saturation, pass B recomputes them again to
+    accumulate mass, cost, and both gradients. Peak live memory is
+    O(B*chunk*M + B*(N+M)) -- the (B,N,M) pairwise matrix never exists --
+    at the price of 2 d2 evaluations per pair per level. This is the XLA
+    fallback for clouds past the fused kernel's VMEM envelope; the
+    reference contract it preserves is the CUDA kernel's streaming
+    structure (tf_approxmatch_g.cu:1-179 never materializes per-pair state
+    beyond the plan)."""
+    b, n, _ = xyz1.shape
+    m = xyz2.shape[1]
+    chunk = _pick_row_chunk(b, n, m)
+    nc = n // chunk
+    multi_l, multi_r = _capacities(n, m)
+    f32 = jnp.float32
+    # (nc, B, chunk, 3): scan-major chunk layout.
+    x1 = xyz1.astype(f32).reshape(b, nc, chunk, 3).transpose(1, 0, 2, 3)
+    x2 = xyz2.astype(f32)
+    levels = jnp.asarray(_LEVELS, f32)
+
+    def level_fn(carry, level):
+        remain_l, remain_r, cost, grad1, grad2 = carry
+
+        def pass_a(colacc, xs):
+            x1k, rl_k = xs  # (B, chunk, 3), (B, chunk)
+            k_mat = jnp.exp(level * sqdist_matrix(x1k, x2))
+            suml = 1e-9 + jnp.einsum("bnm,bm->bn", k_mat, remain_r)
+            ratio_l = rl_k / suml
+            return (colacc + jnp.einsum("bnm,bn->bm", k_mat, ratio_l),
+                    ratio_l)
+
+        colsum, ratio_l = jax.lax.scan(pass_a, jnp.zeros((b, m), f32),
+                                       (x1, remain_l))
+        sumr = colsum * remain_r
+        consumption = jnp.minimum(remain_r / (sumr + 1e-9), 1.0)
+        ratio_r = consumption * remain_r
+        remain_r = jnp.maximum(0.0, remain_r - sumr)
+
+        def pass_b(acc, xs):
+            cost, grad2 = acc
+            x1k, rl_k, remain_lk, grad1k = xs
+            d2 = sqdist_matrix(x1k, x2)
+            w = jnp.exp(level * d2) * rl_k[:, :, None] * ratio_r[:, None, :]
+            remain_lk = jnp.maximum(0.0, remain_lk - jnp.sum(w, axis=2))
+            wr = w * jax.lax.rsqrt(jnp.maximum(d2, 1e-20))
+            # w * sqrt(d2) == wr * d2 (the Pallas kernel's sqrt elision).
+            cost = cost + jnp.einsum("bnm,bnm->b", wr, d2)
+            for c in range(3):
+                diff = x1k[:, :, None, c] - x2[:, None, :, c]
+                wd = wr * diff
+                grad1k = grad1k.at[:, :, c].add(jnp.sum(wd, axis=2))
+                grad2 = grad2.at[:, :, c].add(-jnp.sum(wd, axis=1))
+            return (cost, grad2), (remain_lk, grad1k)
+
+        (cost, grad2), (remain_l, grad1) = jax.lax.scan(
+            pass_b, (cost, grad2), (x1, ratio_l, remain_l, grad1))
+        return (remain_l, remain_r, cost, grad1, grad2), None
+
+    init = (
+        jnp.full((nc, b, chunk), multi_l, f32),
+        jnp.full((b, m), multi_r, f32),
+        jnp.zeros((b,), f32),
+        jnp.zeros((nc, b, chunk, 3), f32),
+        jnp.zeros((b, m, 3), f32),
+    )
+    (_, _, cost, grad1, grad2), _ = jax.lax.scan(level_fn, init, levels)
+    grad1 = grad1.transpose(1, 0, 2, 3).reshape(b, n, 3)
+    return cost, grad1, grad2
+
+
 def _emd_forward_any(xyz1, xyz2, impl: str):
     if impl == "pallas":
         from pointnet_autoencoder_tpu.ops.emd_pallas import emd_forward_pallas
@@ -230,6 +327,14 @@ def _emd_forward_any(xyz1, xyz2, impl: str):
         res = emd_forward_pallas(xyz1, xyz2)
         if res is not None:
             return res
+    if impl == "chunked":
+        return _emd_forward_chunked(xyz1, xyz2)
+    b, n, _ = xyz1.shape
+    m = xyz2.shape[1]
+    if 4 * b * n * m > _DENSE_BYTES_LIMIT:
+        # Shapes past the fused kernel's VMEM envelope (or with impl="xla")
+        # whose (B,N,M) would not fit: stream instead of OOMing.
+        return _emd_forward_chunked(xyz1, xyz2)
     return _emd_forward(xyz1, xyz2)
 
 
@@ -259,7 +364,10 @@ def emd_cost(xyz1: jax.Array, xyz2: jax.Array,
     clouds with the transport plan held constant. Numerically equal to
     ``match_cost(xyz1, xyz2, approx_match(xyz1, xyz2))`` but never builds
     the plan. impl: "pallas" (default on TPU; fully fused, zero O(N*M) HBM
-    traffic) or "xla" (dense scan)."""
+    traffic), "xla" (dense scan; auto-streams past _DENSE_BYTES_LIMIT), or
+    "chunked" (force the streaming row-chunked path). Every route degrades
+    gracefully with N: kernel -> dense -> streaming; no shape OOMs by
+    materializing (B,N,M)."""
     if impl is None:
         # The round-2 fused kernel (d2 cached in VMEM, one exp per fused
         # sweep pair, base-2 exponentials) beats the dense XLA path 2.6x at

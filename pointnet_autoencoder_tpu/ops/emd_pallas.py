@@ -70,6 +70,28 @@ from pointnet_autoencoder_tpu.ops.tpu import VMEM_LIMIT_BYTES as _VMEM_LIMIT
 _D2_CACHE_BUDGET = 64 * 1024 * 1024
 
 
+def _vmem_estimate_bytes(n: int, m: int, tile_n: int,
+                         cache_d2: bool) -> int:
+    """Analytic VMEM footprint of one grid step's buffers.
+
+    Block buffers (double-buffered by the Mosaic pipeline): the (1, N, 3)
+    xyz1 input and grad1 output lane-pad 3 -> 128 (512*N bytes each); the
+    (1, 3, M) x2t input and grad2t output sublane-pad 3 -> 8 (32*M each).
+    Scratch (single-buffered): remainL/ratioL are (N, 1) columns that
+    lane-pad 1 -> 128 (512*N each), plus the optional (N, M) f32 d2 cache.
+    Working set: ~4 live (TN, M) f32 tiles inside the level loops.
+
+    Calibrated against shapes measured to compile under the 100 MB cap:
+    B=32 N=M=2048 cached (~40 MB here), B=4 N=M=4096 cached (~97 MB,
+    round-2 hardware-validated), N=M=16384 uncached (~69 MB, validated
+    round 4); N=M=32768 (~105 MB) correctly falls back to the streaming
+    XLA path (ops/emd.py:_emd_forward_chunked)."""
+    blocks = 2 * 2 * (512 * n + 32 * m)  # (in + out) x double-buffering
+    scratch = 2 * 512 * n + (4 * n * m if cache_d2 else 0)
+    working = 4 * 4 * tile_n * m
+    return blocks + scratch + working
+
+
 def _pick_tile_n(n: int, m: int, vmem_budget: int = 24 * 1024 * 1024) -> int:
     """Largest divisor of n (multiple of 8, <=512) whose (TN, M) f32 tiles
     fit the budget with ~4 live buffers. Returns 0 (-> caller falls back
@@ -197,19 +219,22 @@ def emd_forward_pallas(xyz1: jax.Array, xyz2: jax.Array,
         interpret = jax.default_backend() != "tpu"
     b, n, _ = xyz1.shape
     m = xyz2.shape[1]
-    # The (N, 3) input block lane-pads 3 -> 128 in VMEM (N*512 bytes); cap it
-    # so large clouds fall back to the dense path instead of VMEM-OOMing.
-    if n > 8192:
-        return None
     tile_n = _pick_tile_n(n, m)
     if tile_n == 0:
+        return None
+    # VMEM envelope (replaces round-2's conservative hard N<=8192 guard):
+    # cache d2 when both the cache budget and the total footprint allow;
+    # past the uncached footprint, fall back to the streaming XLA path.
+    cache_d2 = (n * m * 4 <= _D2_CACHE_BUDGET
+                and _vmem_estimate_bytes(n, m, tile_n, True) <= _VMEM_LIMIT)
+    if (not cache_d2
+            and _vmem_estimate_bytes(n, m, tile_n, False) > _VMEM_LIMIT):
         return None
     # Same integer capacity factors as the dense path (emd._capacities;
     # local import -- emd imports this module lazily).
     from pointnet_autoencoder_tpu.ops.emd import _capacities
 
     multi_l, multi_r = _capacities(n, m)
-    cache_d2 = n * m * 4 <= _D2_CACHE_BUDGET
 
     x1 = xyz1.astype(jnp.float32)
     x2t = jnp.swapaxes(xyz2.astype(jnp.float32), 1, 2)  # (B, 3, M)

@@ -119,6 +119,93 @@ def test_pallas_falls_back_for_very_wide_m():
     assert emd_pallas.emd_forward_pallas(x1, x2) is None
 
 
+@pytest.mark.parametrize("b,n,m", [(2, 48, 32), (1, 13, 40), (1, 40, 13)])
+def test_chunked_streaming_matches_dense(b, n, m):
+    """The non-materializing row-chunked path (ops/emd.py:
+    _emd_forward_chunked) must reproduce the dense scan: cost, both
+    plan-constant gradients, oracle parity. N=13 is prime (chunk degrades
+    to 1, the worst-case streaming shape)."""
+    x1, x2 = _rand_clouds(b, n, m, seed=11)
+    cd, g1d, g2d = emd._emd_forward(jnp.asarray(x1), jnp.asarray(x2))
+    cc, g1c, g2c = jax.jit(emd._emd_forward_chunked)(
+        jnp.asarray(x1), jnp.asarray(x2))
+    np.testing.assert_allclose(np.asarray(cc), np.asarray(cd),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1c), np.asarray(g1d),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g2c), np.asarray(g2d),
+                               rtol=1e-4, atol=1e-6)
+    ref = oracles.match_cost_np(x1, x2, oracles.approx_match_np(x1, x2))
+    np.testing.assert_allclose(np.asarray(cc), ref, rtol=1e-3, atol=1e-4)
+
+
+def test_chunked_impl_via_public_api():
+    """impl='chunked' routes emd_cost/grads through the streaming path."""
+    x1, x2 = _rand_clouds(2, 32, 24, seed=12)
+
+    def loss(a, b, impl):
+        return jnp.mean(emd.emd_cost(a, b, impl=impl))
+
+    for impl in ("chunked",):
+        got = jax.jit(lambda a, b: loss(a, b, impl))(x1, x2)
+        want = loss(jnp.asarray(x1), jnp.asarray(x2), "xla")
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+        g = jax.grad(lambda a, b: loss(a, b, impl), argnums=(0, 1))(
+            jnp.asarray(x1), jnp.asarray(x2))
+        gw = jax.grad(lambda a, b: loss(a, b, "xla"), argnums=(0, 1))(
+            jnp.asarray(x1), jnp.asarray(x2))
+        for a, b in zip(g, gw):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+
+def test_dense_auto_streams_past_materialization_limit(monkeypatch):
+    """impl='xla' must route to the streaming path (NOT materialize
+    (B,N,M)) once past _DENSE_BYTES_LIMIT -- the round-3 verdict's OOM
+    cliff, pinned by shrinking the limit below a small shape."""
+    calls = []
+    orig = emd._emd_forward_chunked
+
+    def spy(x1, x2):
+        calls.append(x1.shape)
+        return orig(x1, x2)
+
+    monkeypatch.setattr(emd, "_emd_forward_chunked", spy)
+    monkeypatch.setattr(emd, "_DENSE_BYTES_LIMIT", 4 * 2 * 16 * 16 - 1)
+    x1, x2 = _rand_clouds(2, 16, 16, seed=13)
+    cost = emd.emd_cost(jnp.asarray(x1), jnp.asarray(x2), impl="xla")
+    assert calls, "streaming path was not taken past the limit"
+    ref = oracles.match_cost_np(x1, x2, oracles.approx_match_np(x1, x2))
+    np.testing.assert_allclose(np.asarray(cost), ref, rtol=1e-3, atol=1e-4)
+
+
+def test_pick_row_chunk():
+    assert emd._pick_row_chunk(1, 16, 16, budget_bytes=1 << 30) == 16
+    assert emd._pick_row_chunk(4, 16384, 16384,
+                               budget_bytes=256 << 20) == 1024
+    assert emd._pick_row_chunk(1, 13, 1 << 20, budget_bytes=64) == 1
+
+
+def test_kernel_envelope_estimate():
+    """The VMEM estimate replacing the hard N<=8192 guard: shapes known to
+    compile stay in-envelope (cached where round 2/3 validated caching);
+    N=M=32768 falls out to the streaming path."""
+    from pointnet_autoencoder_tpu.ops import emd_pallas
+
+    est = emd_pallas._vmem_estimate_bytes
+    limit = emd_pallas._VMEM_LIMIT
+    assert est(2048, 2048, 512, True) <= limit      # flagship, cached
+    assert est(4096, 4096, 256, True) <= limit      # round-2 validated
+    assert est(16384, 16384, 64, False) <= limit    # new envelope member
+    assert est(32768, 32768, 32, False) > limit     # streaming takes over
+    # The wrapper agrees: 16384 stays on the kernel path in interpret mode
+    # only via its shape gate (don't execute it here -- too slow on CPU);
+    # check the gating decision directly.
+    tile = emd_pallas._pick_tile_n(16384, 16384)
+    assert tile > 0
+    assert not (16384 * 16384 * 4 <= emd_pallas._D2_CACHE_BUDGET)
+
+
 def test_emd_loss_zero_for_identical_clouds():
     x1, _ = _rand_clouds(1, 32, 32, seed=6)
     loss = emd.emd_loss(jnp.asarray(x1), jnp.asarray(x1))
