@@ -58,6 +58,8 @@ def main() -> None:
         for i in range(2)
     ]
 
+    compiled_steps = {}
+
     def time_step(spec_name: str, iters: int, windows: int) -> float:
         """Best-of-windows seconds per jitted donated train step.
 
@@ -67,6 +69,10 @@ def main() -> None:
         window ends with float(...). Best-of-windows because the shared
         backend shows heavy run-to-run contention variance -- the least-
         contended window is the closest estimate of the device step time.
+
+        The compiled executable is kept (compiled_steps) so the roofline
+        report can read XLA's whole-program cost analysis -- the HBM-bytes
+        memory bound the kernel-only analytic floor ignores.
         """
         spec = get_model_spec(spec_name)
         # Default training config: bf16 matmuls (convergence-equivalent to
@@ -75,7 +81,9 @@ def main() -> None:
             jax.random.PRNGKey(0), num_point, dtype=jnp.bfloat16)
         state = meshlib.replicate(mesh, TrainState.create(variables, tx))
         train_step, _ = make_step_fns(model, spec, tx, bn, lr)
-        step = jax.jit(train_step, donate_argnums=(0,))
+        step = jax.jit(train_step, donate_argnums=(0,)).lower(
+            state, batches[0]).compile()
+        compiled_steps[spec_name] = step
         for i in range(3):
             state, metrics = step(state, batches[i % 2])
         float(metrics["loss"])
@@ -170,9 +178,14 @@ def main() -> None:
             "family_step_ms": {
                 name: round(1e3 * s, 3) for name, s in family_step_s.items()
             },
+            # Each entry carries BOTH normalizations: the kernel-only
+            # analytic floor (pct_of_roofline) and XLA's whole-program
+            # HBM-bytes memory bound (pct_of_mem_bound -- the honest
+            # utilization; the floor ignores Adam/activation traffic).
             "roofline": {
                 name: roofline.roofline_report(
-                    name, batch_size // n_chips, num_point, 1e3 * s)
+                    name, batch_size // n_chips, num_point, 1e3 * s,
+                    compiled=compiled_steps.get(name))
                 for name, s in [("model", step_s), ("model_emd", emd_step_s),
                                 *family_step_s.items()]
             },

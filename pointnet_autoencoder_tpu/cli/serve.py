@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "client stalled mid-frame is dropped after this "
                         "long instead of pinning a connection slot "
                         "[default: 30]")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 serving: bf16 matmuls + bf16-stored "
+                        "weights (BN stats stay f32). Matches the training "
+                        "default's compute class; ~2-9%% faster forwards at "
+                        "large batch with half the weight bytes. Off by "
+                        "default (f32, HIGHEST-precision matmuls)")
     p.add_argument("--data_parallel", type=int, default=None,
                    help="Shard server batches over N devices")
     p.add_argument("--pipeline_parallel", action="store_true",
@@ -74,11 +80,12 @@ def main(argv=None):
     if os.path.exists(os.path.join(args.model_path, "bundle_meta.json")):
         session = InferenceSession.from_bundle(
             args.model_path, batch_size=args.batch_size,
-            data_parallel=args.data_parallel)
+            data_parallel=args.data_parallel, bf16=args.bf16)
     else:
         session = InferenceSession(
             args.model, args.model_path, args.num_point,
-            batch_size=args.batch_size, data_parallel=args.data_parallel)
+            batch_size=args.batch_size, data_parallel=args.data_parallel,
+            bf16=args.bf16)
     if args.pipeline_parallel:
         if args.data_parallel:
             raise SystemExit(

@@ -315,3 +315,51 @@ def test_wrong_num_point_restore_diagnoses_shape_mismatch(trained):
     _root, ckpt = trained  # trained at NUM_POINT
     with pytest.raises(ValueError, match="different\\s+--num_point"):
         InferenceSession("model", ckpt, NUM_POINT * 2, batch_size=2)
+
+
+def test_session_bf16_mode(trained):
+    """bf16 serving (round-4, --bf16 on cli.serve): bf16 matmuls with
+    bf16-STORED weights. Reconstructions stay within bf16 tolerance of the
+    f32 session; decode(embed(x)) == reconstruct(x) holds inside the mode;
+    weights really are stored bf16 (half the HBM); a bundle exported from
+    a bf16 session reopens in either mode (bundles stay f32 on disk)."""
+    import jax.numpy as jnp
+
+    root, ckpt = trained
+    sess32 = InferenceSession("model", ckpt, NUM_POINT, batch_size=4)
+    sess16 = InferenceSession("model", ckpt, NUM_POINT, batch_size=4,
+                              bf16=True)
+    kernel = sess16.variables["params"]["decoder"]["fc3"]["dense"]["kernel"]
+    assert kernel.dtype == jnp.bfloat16
+    stats = sess16.variables["batch_stats"]["encoder"]["conv1"]["bn"]["mean"]
+    assert stats.dtype == jnp.float32
+
+    ds = PartDataset(root, npoints=NUM_POINT, split="test",
+                     class_choice=["Chair"], seed=1)
+    batch = np.stack([ds[i][0] for i in range(4)])
+    r32 = sess32.reconstruct(batch)
+    r16 = sess16.reconstruct(batch)
+    scale = float(np.abs(r32).max())
+    assert float(np.abs(r16 - r32).max()) < 0.02 * max(scale, 1.0)
+    # Internal consistency of the mode (the serving contract).
+    np.testing.assert_allclose(sess16.decode(sess16.embed(batch)), r16,
+                               rtol=1e-5, atol=1e-5)
+
+    out = sess16.export_bundle(os.path.join(os.path.dirname(ckpt),
+                                            "bf16_bundle"))
+    re32 = InferenceSession.from_bundle(out, batch_size=4)
+    re16 = InferenceSession.from_bundle(out, batch_size=4, bf16=True)
+    np.testing.assert_allclose(re16.reconstruct(batch), r16,
+                               rtol=1e-5, atol=1e-5)
+    assert float(np.abs(re32.reconstruct(batch) - r32).max()) \
+        < 0.02 * max(scale, 1.0)
+
+
+def test_serve_cli_bf16_flag():
+    from pointnet_autoencoder_tpu.cli import serve as serve_cli
+
+    args = serve_cli.build_parser().parse_args(
+        ["--model_path", "x", "--bf16"])
+    assert args.bf16 is True
+    assert serve_cli.build_parser().parse_args(
+        ["--model_path", "x"]).bf16 is False

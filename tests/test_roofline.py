@@ -94,3 +94,32 @@ def test_report_is_json_serializable():
     parsed = json.loads(json.dumps(r))
     assert set(parsed) == {"measured_ms", "analytic_floor_ms", "mxu_ms",
                            "loss_vpu_ms", "pct_of_roofline"}
+
+
+class _FakeCompiled:
+    def __init__(self, ca):
+        self._ca = ca
+
+    def cost_analysis(self):
+        return self._ca
+
+
+def test_whole_program_bound_from_cost_analysis():
+    """The memory-bound report reads XLA's cost analysis (round-4: the
+    honest per-family normalization bench.py records each round)."""
+    fake = _FakeCompiled({"bytes accessed": 2.412e9, "flops": 15.37e9})
+    r = roofline.roofline_report("model", 32, 2048, 3.091, compiled=fake)
+    assert r["hbm_bytes_GB"] == 2.412
+    # mem_bound_ms is rounded to 3 decimals in the report.
+    assert abs(r["mem_bound_ms"]
+               - 2.412e9 / roofline.HBM_BYTES_PER_S * 1e3) < 1e-3
+    assert 90 < r["pct_of_mem_bound"] < 100
+    json.dumps(r)
+    # list-wrapped analyses (some jax versions) and absent analyses degrade.
+    assert roofline.whole_program_bound(
+        _FakeCompiled([{"bytes accessed": 1e9}]))["hbm_bytes_GB"] == 1.0
+    assert roofline.whole_program_bound(_FakeCompiled({})) is None
+    assert roofline.whole_program_bound(_FakeCompiled([])) is None
+    r2 = roofline.roofline_report("model", 32, 2048, 3.0,
+                                  compiled=_FakeCompiled({}))
+    assert "mem_bound_ms" not in r2
