@@ -109,18 +109,25 @@ def main() -> None:
         for name in ("model_upconv", "model_fc_upconv", "model_hierachy")
     }
 
-    def time_forward(iters: int, windows: int, *, b1: bool = False) -> float:
+    def time_forward(iters: int, windows: int, *, b1: bool = False,
+                     batch: int | None = None) -> float:
         """Serving-side evidence: the jitted eval-mode forward (encoder +
         decoder, no loss/optimizer) -- what InferenceSession compiles.
         ``b1=True`` is the latency config (single shape, single chip,
-        whole-encoder fused kernel); otherwise the full replicated batch.
-        Device programs execute in dispatch order, so one scalar fetch
-        from the last dispatch is a barrier for the whole window."""
+        whole-encoder fused kernel); ``batch`` overrides the batch size
+        (single-chip, for the large-batch throughput row); otherwise the
+        full replicated batch. Device programs execute in dispatch order,
+        so one scalar fetch from the last dispatch is a barrier for the
+        whole window."""
         spec = get_model_spec("model")
         model, variables = spec.init_variables(
             jax.random.PRNGKey(0), num_point, dtype=jnp.bfloat16)
         if b1:
             data = [batches[i][:1] for i in range(2)]
+        elif batch is not None:
+            data = [jax.random.normal(jax.random.PRNGKey(10 + i),
+                                      (batch, num_point, 3), jnp.float32)
+                    for i in range(2)]
         else:
             variables = meshlib.replicate(mesh, variables)
             data = batches
@@ -147,6 +154,10 @@ def main() -> None:
     # single-chip number by definition.
     fwd_b1_s = (time_forward(iters=300, windows=3, b1=True)
                 if n_chips == 1 else None)
+    # Throughput-deployment batch (round-4 serving analysis: ~85% of the
+    # refined floor at B=512); single-chip row like the latency config.
+    fwd_b512_s = (time_forward(iters=60, windows=3, batch=512)
+                  if n_chips == 1 else None)
 
     from pointnet_autoencoder_tpu.utils import roofline
 
@@ -170,6 +181,16 @@ def main() -> None:
                 batch_size / fwd_s / n_chips, 2),
             "serving_b1_latency_ms": (round(1e3 * fwd_b1_s, 3)
                                       if fwd_b1_s is not None else None),
+            "serving_b512": (None if fwd_b512_s is None else {
+                "measured_ms": round(1e3 * fwd_b512_s, 3),
+                "shapes_per_sec_per_chip": round(512 / fwd_b512_s, 2),
+                "analytic_floor_ms": round(
+                    roofline.forward_floor_ms("model", 512, num_point), 3),
+                "pct_of_roofline": round(
+                    100.0 * roofline.forward_floor_ms("model", 512,
+                                                      num_point)
+                    / (1e3 * fwd_b512_s), 1),
+            }),
             # Hardware-normalized: measured vs the analytic v5e floor
             # (sum of MXU matmul time + loss-kernel VPU time; see
             # utils/roofline.py for the op accounting). The floor models
