@@ -36,6 +36,13 @@ range), dense-reconstruction evaluation, or squeezing latency by throwing
 the whole mesh at one batch. Training at the reference workload shape
 keeps plain data parallelism -- sharding N=2048 would just starve the
 kernel tiles.
+
+Every entry point also composes with data parallelism (``batch_axis``):
+on a 2-D mesh the batch dimension shards over one axis while each data
+group runs the point-sharded op over the other -- the point collectives
+(pmin / per-level psum) stay within the group, the gradient all-reduce
+over the batch axis remains GSPMD's job. ``make_sp_step_fns(...,
+batch_axis=...)`` is the composed DP x SP train step.
 """
 
 from __future__ import annotations
@@ -54,8 +61,9 @@ _INT32_MAX = jnp.iinfo(jnp.int32).max
 
 
 def _pvary(x, axis):
-    """Mark a replicated value as device-varying (pcast on jax >= 0.9,
-    where lax.pvary is deprecated; pvary on older releases)."""
+    """Mark a replicated value as device-varying over ``axis`` (a name or
+    tuple of names; pcast on jax >= 0.9, where lax.pvary is deprecated;
+    pvary on older releases)."""
     if hasattr(jax.lax, "pcast"):
         return jax.lax.pcast(x, axis, to="varying")
     return jax.lax.pvary(x, axis)
@@ -89,49 +97,65 @@ def _shard_body(x1, x2, *, axis: str, impl: Optional[str]):
     return d1, i1, d2, i2
 
 
+def _check_divisible(n: int, mesh: Mesh, axis: str, what: str = "point"):
+    k = mesh.shape[axis]
+    if n % k != 0:
+        label = "N" if what == "point" else "B"
+        raise ValueError(
+            f"{what} axis {label}={n} must divide by mesh axis "
+            f"{axis!r} size {k}"
+        )
+
+
 def nn_distance_point_sharded(xyz1: jax.Array, xyz2: jax.Array, mesh: Mesh,
                               axis: str = DATA_AXIS,
-                              impl: Optional[str] = None):
+                              impl: Optional[str] = None,
+                              batch_axis: Optional[str] = None):
     """nn_distance with xyz1's point axis sharded over ``mesh[axis]``.
 
     Args:
       xyz1: (B, N, 3); N must divide by the mesh axis size. Sharded along
         N over ``axis`` (re-placed if it arrives with another sharding).
-      xyz2: (B, M, 3); replicated.
+      xyz2: (B, M, 3); replicated over ``axis``.
       mesh: the device mesh; ``axis`` names the point-parallel dimension.
       impl: per-shard kernel choice, as ``ops.chamfer.nn_distance``.
+      batch_axis: optional second mesh axis sharding BOTH clouds' batch
+        dimension — the DP x SP composition (each data-parallel group runs
+        the point-sharded op on its batch slice; the point collectives
+        stay within the group). B must divide by its size.
 
     Returns the usual (dist1, idx1, dist2, idx2): dist1/idx1 sharded along
-    N, dist2/idx2 replicated. Indices are exact vs the unsharded op
-    (including first-min tie-breaks); distances match to 1 ulp (see module
+    N, dist2/idx2 replicated over ``axis`` (all sharded over ``batch_axis``
+    when given). Indices are exact vs the unsharded op (including
+    first-min tie-breaks); distances match to 1 ulp (see module
     docstring). Differentiable in both clouds.
     """
-    k = mesh.shape[axis]
-    if xyz1.shape[1] % k != 0:
-        raise ValueError(
-            f"point axis N={xyz1.shape[1]} must divide by mesh "
-            f"axis {axis!r} size {k}"
-        )
+    _check_divisible(xyz1.shape[1], mesh, axis)
+    if batch_axis is not None:
+        _check_divisible(xyz1.shape[0], mesh, batch_axis, what="batch")
     fn = jax.shard_map(
         partial(_shard_body, axis=axis, impl=impl),
         mesh=mesh,
-        in_specs=(P(None, axis, None), P()),
-        out_specs=(P(None, axis), P(None, axis), P(), P()),
+        in_specs=(P(batch_axis, axis, None), P(batch_axis)),
+        out_specs=(P(batch_axis, axis), P(batch_axis, axis),
+                   P(batch_axis), P(batch_axis)),
     )
     xyz1 = jax.lax.with_sharding_constraint(
-        xyz1.astype(jnp.float32), NamedSharding(mesh, P(None, axis, None)))
+        xyz1.astype(jnp.float32),
+        NamedSharding(mesh, P(batch_axis, axis, None)))
     xyz2 = jax.lax.with_sharding_constraint(
-        xyz2.astype(jnp.float32), NamedSharding(mesh, P()))
+        xyz2.astype(jnp.float32), NamedSharding(mesh, P(batch_axis)))
     return fn(xyz1, xyz2)
 
 
 def chamfer_loss_point_sharded(xyz1: jax.Array, xyz2: jax.Array, mesh: Mesh,
                                axis: str = DATA_AXIS,
-                               impl: Optional[str] = None) -> jax.Array:
+                               impl: Optional[str] = None,
+                               batch_axis: Optional[str] = None) -> jax.Array:
     """mean(dist1) + mean(dist2) over the point-sharded op (the reference
     loss contract, models/model.py:77-83, at mesh scale)."""
     d1, _, d2, _ = nn_distance_point_sharded(xyz1, xyz2, mesh, axis=axis,
-                                             impl=impl)
+                                             impl=impl, batch_axis=batch_axis)
     return jnp.mean(d1) + jnp.mean(d2)
 
 
@@ -166,12 +190,18 @@ def chamfer_loss_point_sharded(xyz1: jax.Array, xyz2: jax.Array, mesh: Mesh,
 # shape, keep the fused kernel (parallel/README in docs/ARCHITECTURE.md).
 
 
-def _emd_shard_body(x1, x2, *, axis: str, n_global: int):
+def _emd_shard_body(x1, x2, *, axis: str, n_global: int,
+                    batch_axes: tuple = ()):
     """Per-device body: x1 is the local (B, N/k, 3) row slice, x2 replicated.
 
     Returns (cost (B,), grad1 (B, N/k, 3), grad2 (B, M, 3)): the fused
     plan-free contract of ops/emd.py:_emd_forward, with grads taken at a
     held-fixed transport plan (the reference's MatchCostGrad semantics).
+
+    ``batch_axes``: extra mesh axes the batch dimension is sharded over
+    (the DP x SP composition); fresh-created scan carries must be marked
+    varying over them too, or the first iteration's batch-varying results
+    change the carry's variance type.
     """
     from pointnet_autoencoder_tpu.ops import emd as emdlib
     from pointnet_autoencoder_tpu.ops.chamfer import sqdist_matrix
@@ -212,15 +242,18 @@ def _emd_shard_body(x1, x2, *, axis: str, n_global: int):
             grad2 = grad2.at[:, :, c].add(-jnp.sum(wd, axis=1))
         return (remain_l, remain_r, cost, grad1, grad2), None
 
-    # remain_r stays device-invariant (psum output + replicated arithmetic);
-    # everything shard-local starts pvaried to keep the scan carry's
-    # varying-axes type fixed across iterations.
+    # remain_r stays device-invariant over ``axis`` (psum output +
+    # replicated arithmetic) but varies over any batch axes; everything
+    # shard-local starts pvaried to keep the scan carry's varying-axes
+    # type fixed across iterations.
+    local = (axis,) + batch_axes
     init = (
-        _pvary(jnp.full((b, n_loc), multi_l, f32), axis),
-        jnp.full((b, m), multi_r, f32),
-        _pvary(jnp.zeros((b,), f32), axis),
-        _pvary(jnp.zeros((b, n_loc, 3), f32), axis),
-        _pvary(jnp.zeros((b, m, 3), f32), axis),
+        _pvary(jnp.full((b, n_loc), multi_l, f32), local),
+        (_pvary(jnp.full((b, m), multi_r, f32), batch_axes)
+         if batch_axes else jnp.full((b, m), multi_r, f32)),
+        _pvary(jnp.zeros((b,), f32), local),
+        _pvary(jnp.zeros((b, n_loc, 3), f32), local),
+        _pvary(jnp.zeros((b, m, 3), f32), local),
     )
     (_, _, cost, grad1, grad2), _ = jax.lax.scan(round_fn, init, levels)
     # Cost and the xyz2 gradient are sums over all rows: one trailing psum
@@ -228,39 +261,42 @@ def _emd_shard_body(x1, x2, *, axis: str, n_global: int):
     return jax.lax.psum(cost, axis), grad1, jax.lax.psum(grad2, axis)
 
 
-def _emd_forward_point_sharded(xyz1, xyz2, mesh: Mesh, axis: str):
-    k = mesh.shape[axis]
+def _emd_forward_point_sharded(xyz1, xyz2, mesh: Mesh, axis: str,
+                               batch_axis: Optional[str] = None):
     n = xyz1.shape[1]
-    if n % k != 0:
-        raise ValueError(
-            f"point axis N={n} must divide by mesh axis {axis!r} size {k}"
-        )
+    _check_divisible(n, mesh, axis)
+    if batch_axis is not None:
+        _check_divisible(xyz1.shape[0], mesh, batch_axis, what="batch")
     fn = jax.shard_map(
-        partial(_emd_shard_body, axis=axis, n_global=n),
+        partial(_emd_shard_body, axis=axis, n_global=n,
+                batch_axes=(batch_axis,) if batch_axis else ()),
         mesh=mesh,
-        in_specs=(P(None, axis, None), P()),
-        out_specs=(P(), P(None, axis), P()),
+        in_specs=(P(batch_axis, axis, None), P(batch_axis)),
+        out_specs=(P(batch_axis), P(batch_axis, axis), P(batch_axis)),
     )
     xyz1 = jax.lax.with_sharding_constraint(
-        xyz1.astype(jnp.float32), NamedSharding(mesh, P(None, axis, None)))
+        xyz1.astype(jnp.float32),
+        NamedSharding(mesh, P(batch_axis, axis, None)))
     xyz2 = jax.lax.with_sharding_constraint(
-        xyz2.astype(jnp.float32), NamedSharding(mesh, P()))
+        xyz2.astype(jnp.float32), NamedSharding(mesh, P(batch_axis)))
     return fn(xyz1, xyz2)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _emd_cost_point_sharded(xyz1, xyz2, mesh, axis):
-    cost, _, _ = _emd_forward_point_sharded(xyz1, xyz2, mesh, axis)
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _emd_cost_point_sharded(xyz1, xyz2, mesh, axis, batch_axis):
+    cost, _, _ = _emd_forward_point_sharded(xyz1, xyz2, mesh, axis,
+                                            batch_axis)
     return cost
 
 
-def _emd_cost_ps_fwd(xyz1, xyz2, mesh, axis):
-    cost, g1, g2 = _emd_forward_point_sharded(xyz1, xyz2, mesh, axis)
+def _emd_cost_ps_fwd(xyz1, xyz2, mesh, axis, batch_axis):
+    cost, g1, g2 = _emd_forward_point_sharded(xyz1, xyz2, mesh, axis,
+                                              batch_axis)
     return cost, (g1, g2)
 
 
-def _emd_cost_ps_bwd(mesh, axis, res, g):
-    del mesh, axis
+def _emd_cost_ps_bwd(mesh, axis, batch_axis, res, g):
+    del mesh, axis, batch_axis
     g1, g2 = res
     return g[:, None, None] * g1, g[:, None, None] * g2
 
@@ -269,7 +305,8 @@ _emd_cost_point_sharded.defvjp(_emd_cost_ps_fwd, _emd_cost_ps_bwd)
 
 
 def emd_cost_point_sharded(xyz1: jax.Array, xyz2: jax.Array, mesh: Mesh,
-                           axis: str = DATA_AXIS) -> jax.Array:
+                           axis: str = DATA_AXIS,
+                           batch_axis: Optional[str] = None) -> jax.Array:
     """Approx-EMD cost (B,) with xyz1's point axis sharded over ``mesh[axis]``.
 
     Numerically equivalent to ``ops.emd.emd_cost`` (same annealing schedule,
@@ -277,17 +314,22 @@ def emd_cost_point_sharded(xyz1: jax.Array, xyz2: jax.Array, mesh: Mesh,
     column psum; differentiable in both clouds. N must divide by the mesh
     axis size. The cost comes back replicated; under ``jax.grad`` the xyz1
     cotangent is sharded along N and the xyz2 cotangent replicated.
+    ``batch_axis`` additionally shards the batch dimension over a second
+    mesh axis (DP x SP; the per-level psums stay within each data group).
     """
     return _emd_cost_point_sharded(
-        xyz1.astype(jnp.float32), xyz2.astype(jnp.float32), mesh, axis)
+        xyz1.astype(jnp.float32), xyz2.astype(jnp.float32), mesh, axis,
+        batch_axis)
 
 
 def emd_loss_point_sharded(pred: jax.Array, label: jax.Array, mesh: Mesh,
-                           axis: str = DATA_AXIS) -> jax.Array:
+                           axis: str = DATA_AXIS,
+                           batch_axis: Optional[str] = None) -> jax.Array:
     """mean over batch of approx-EMD(label -> pred) — the reference's EMD
     training loss contract (models/model_emd.py:86-88) with the label
     cloud's points sharded over the mesh."""
-    return jnp.mean(emd_cost_point_sharded(label, pred, mesh, axis=axis))
+    return jnp.mean(emd_cost_point_sharded(label, pred, mesh, axis=axis,
+                                           batch_axis=batch_axis))
 
 
 # ---------------------------------------------------------------------------
@@ -307,12 +349,15 @@ def emd_loss_point_sharded(pred: jax.Array, label: jax.Array, mesh: Mesh,
 # with every O(N*M) term sharded.
 
 
-def point_batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
-    """Sharding for a (B, N, 3) batch with the POINT axis sharded."""
-    return NamedSharding(mesh, P(None, axis, None))
+def point_batch_sharding(mesh: Mesh, axis: str = DATA_AXIS,
+                         batch_axis: Optional[str] = None) -> NamedSharding:
+    """Sharding for a (B, N, 3) batch with the POINT axis sharded (and,
+    with ``batch_axis``, the batch axis too — DP x SP)."""
+    return NamedSharding(mesh, P(batch_axis, axis, None))
 
 
-def sp_loss_fn(name: str, mesh: Mesh, axis: str = DATA_AXIS):
+def sp_loss_fn(name: str, mesh: Mesh, axis: str = DATA_AXIS,
+               batch_axis: Optional[str] = None):
     """Point-sharded analog of the registry loss contracts
     (models/autoencoder.py: chamfer_x100_loss / emd_loss_fn /
     hierarchy_loss_fn). The label (input) cloud is the sharded side;
@@ -320,8 +365,10 @@ def sp_loss_fn(name: str, mesh: Mesh, axis: str = DATA_AXIS):
     because mean(d_fwd) + mean(d_bwd) is symmetric in the argument order
     (only the direction labels swap), up to f32 summation order."""
 
+    kw = dict(axis=axis, batch_axis=batch_axis)
+
     def chamfer100(pred, label, end_points):
-        pcloss = chamfer_loss_point_sharded(label, pred, mesh, axis=axis)
+        pcloss = chamfer_loss_point_sharded(label, pred, mesh, **kw)
         return pcloss * 100.0, {"pcloss": pcloss}
 
     if name in ("model", "model_cpu", "model_upconv", "model_fc_upconv"):
@@ -329,17 +376,17 @@ def sp_loss_fn(name: str, mesh: Mesh, axis: str = DATA_AXIS):
     if name == "model_emd":
 
         def emd_fn(pred, label, end_points):
-            pcloss = chamfer_loss_point_sharded(label, pred, mesh, axis=axis)
-            loss = emd_loss_point_sharded(pred, label, mesh, axis=axis)
+            pcloss = chamfer_loss_point_sharded(label, pred, mesh, **kw)
+            loss = emd_loss_point_sharded(pred, label, mesh, **kw)
             return loss, {"pcloss": pcloss}
 
         return emd_fn
     if name == "model_hierachy":
 
         def hierarchy_fn(pred, label, end_points):
-            pcloss = chamfer_loss_point_sharded(label, pred, mesh, axis=axis)
+            pcloss = chamfer_loss_point_sharded(label, pred, mesh, **kw)
             pc1 = chamfer_loss_point_sharded(label, end_points["pc1_xyz"],
-                                             mesh, axis=axis)
+                                             mesh, **kw)
             loss = (pcloss + 0.1 * pc1) * 100.0
             return loss, {"pcloss": pcloss, "pc1loss": pc1}
 
@@ -348,7 +395,8 @@ def sp_loss_fn(name: str, mesh: Mesh, axis: str = DATA_AXIS):
 
 
 def make_sp_step_fns(model, spec, tx, bn_schedule, lr_schedule, mesh: Mesh,
-                     axis: str = DATA_AXIS):
+                     axis: str = DATA_AXIS,
+                     batch_axis: Optional[str] = None):
     """(train_step, eval_step) with the batch's point axis sharded.
 
     Same contract as train.loop.make_step_fns; callers feed batches placed
@@ -360,12 +408,18 @@ def make_sp_step_fns(model, spec, tx, bn_schedule, lr_schedule, mesh: Mesh,
     GSPMD keeps the kernel correct regardless of how it chooses to place
     it; the statistics matmuls (fused_head.head_stats) partition into
     local matmuls + psum.
+
+    ``batch_axis``: a second mesh axis sharding the batch dimension — the
+    DP x SP composed train step (feed batches placed with
+    ``point_batch_sharding(mesh, axis, batch_axis)``). Gradient all-reduce
+    over ``batch_axis`` and BN global-batch statistics stay GSPMD's job,
+    exactly as in pure DP.
     """
     import dataclasses
 
     from pointnet_autoencoder_tpu.train.loop import make_step_fns
 
     sp_spec = dataclasses.replace(
-        spec, loss_fn=sp_loss_fn(spec.name, mesh, axis))
+        spec, loss_fn=sp_loss_fn(spec.name, mesh, axis, batch_axis))
     return make_step_fns(model, sp_spec, tx, bn_schedule, lr_schedule,
-                         pred_sharding=NamedSharding(mesh, P()))
+                         pred_sharding=NamedSharding(mesh, P(batch_axis)))

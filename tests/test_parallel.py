@@ -560,6 +560,85 @@ def test_sp_train_step_emd_family():
                                rtol=1e-5)
 
 
+def test_dp_sp_losses_match_unsharded():
+    """DP x SP composition (round 4): batch sharded over 'data' (2), points
+    over 'model' (4) on one 2x4 mesh. Both SP losses must match the
+    unsharded ops -- the point collectives stay within each data group."""
+    from pointnet_autoencoder_tpu.ops import emd
+    from pointnet_autoencoder_tpu.ops.chamfer import chamfer_loss
+    from pointnet_autoencoder_tpu.parallel import sp
+
+    mesh = meshlib.make_mesh(data_parallel=2, model_parallel=4)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    x = jax.random.normal(k1, (4, 128, 3))
+    y = jax.random.normal(k2, (4, 96, 3))
+    kw = dict(axis=meshlib.MODEL_AXIS, batch_axis=meshlib.DATA_AXIS)
+
+    got_ch = jax.jit(lambda a, b: sp.chamfer_loss_point_sharded(
+        a, b, mesh, **kw))(x, y)
+    want_ch = chamfer_loss(x, y, impl="xla")
+    np.testing.assert_allclose(float(got_ch), float(want_ch), rtol=1e-6)
+
+    got_emd = jax.jit(lambda a, b: sp.emd_cost_point_sharded(
+        a, b, mesh, **kw))(x, y)
+    want_emd = emd.emd_cost(x, y, impl="xla")
+    np.testing.assert_allclose(jax.device_get(got_emd),
+                               jax.device_get(want_emd), rtol=1e-5)
+
+    # Gradients route through both the batch axis and the point collectives.
+    got_g = jax.jit(jax.grad(lambda a, b: sp.chamfer_loss_point_sharded(
+        a, b, mesh, **kw), argnums=(0, 1)))(x, y)
+    want_g = jax.grad(lambda a, b: chamfer_loss(a, b, impl="xla"),
+                      argnums=(0, 1))(x, y)
+    for g, w in zip(got_g, want_g):
+        np.testing.assert_allclose(jax.device_get(g), jax.device_get(w),
+                                   rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError, match="batch axis B=3 must divide"):
+        sp.chamfer_loss_point_sharded(x[:3], y[:3], mesh, **kw)
+
+
+def test_dp_sp_train_step_matches_single_device():
+    """The composed DP x SP train step (make_sp_step_fns(batch_axis=...)):
+    one step on a (2 data, 4 model) mesh with batch AND points sharded
+    must reproduce the single-device loss/pcloss and BN moving stats."""
+    from pointnet_autoencoder_tpu.parallel import sp
+
+    n_point, batch = 128, 4
+    spec = get_model_spec("model")
+    model, variables = spec.init_variables(
+        jax.random.PRNGKey(0), n_point, batch)
+    lr = schedules.learning_rate_schedule(0.001, 0.7, batch, 200000)
+    bn = schedules.bn_momentum_schedule(batch, 200000)
+    tx = make_optimizer("adam", lr)
+    batch_arr = jax.random.normal(jax.random.PRNGKey(21),
+                                  (batch, n_point, 3))
+
+    train_step, _ = make_step_fns(model, spec, tx, bn, lr)
+    s1, m1 = jax.jit(train_step)(TrainState.create(variables, tx),
+                                 jax.device_put(batch_arr, jax.devices()[0]))
+
+    mesh = meshlib.make_mesh(data_parallel=2, model_parallel=4)
+    sp_step, _ = sp.make_sp_step_fns(
+        model, spec, tx, bn, lr, mesh, axis=meshlib.MODEL_AXIS,
+        batch_axis=meshlib.DATA_AXIS)
+    state_sp = meshlib.replicate(mesh, TrainState.create(variables, tx))
+    sharded = jax.device_put(
+        batch_arr, sp.point_batch_sharding(mesh, meshlib.MODEL_AXIS,
+                                           meshlib.DATA_AXIS))
+    assert sharded.addressable_shards[0].data.shape == (2, 32, 3)
+    s_sp, m_sp = jax.jit(sp_step)(state_sp, sharded)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m_sp["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m1["pcloss"]), float(m_sp["pcloss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s1.batch_stats)),
+                    jax.tree_util.tree_leaves(
+                        jax.device_get(s_sp.batch_stats))):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=2e-5)
+
+
 def test_graft_entry_compiles():
     fn, args = __graft_entry__.entry()
     lowered = jax.jit(fn).lower(*args)
