@@ -42,7 +42,8 @@ def _maxerr(a, b) -> float:
                                - np.asarray(b, np.float64))))
 
 
-def check_chamfer(b=4, n=500, m=388, seed=0):
+def check_chamfer(b=4, n=500, m=388, seed=0, impls=("pallas", "xla"),
+                  tag=""):
     """Forward (dist exact-ish, idx exact) + analytic VJP, both impls,
     non-tile-multiple N != M on purpose (exercises kernel padding)."""
     rng = np.random.RandomState(seed)
@@ -52,13 +53,13 @@ def check_chamfer(b=4, n=500, m=388, seed=0):
     g2 = rng.randn(b, m).astype(np.float32)
     rd1, ri1, rd2, ri2 = oracles.nn_distance_np(x1, x2)
     rgx1, rgx2 = oracles.nn_distance_grad_np(x1, x2, ri1, ri2, g1, g2)
-    for impl in ("pallas", "xla"):
+    for impl in impls:
         fwd = jax.jit(lambda a, c: chamfer.nn_distance(a, c, impl=impl))
         d1, i1, d2, i2 = jax.device_get(fwd(x1, x2))
-        _check(f"chamfer[{impl}] dist", max(_maxerr(d1, rd1),
-                                            _maxerr(d2, rd2)), 1e-5)
+        _check(f"chamfer[{impl}]{tag} dist", max(_maxerr(d1, rd1),
+                                                 _maxerr(d2, rd2)), 1e-5)
         idx_ok = int(np.sum(i1 != ri1) + np.sum(i2 != ri2))
-        _check(f"chamfer[{impl}] idx (mismatches)", float(idx_ok), 0.0)
+        _check(f"chamfer[{impl}]{tag} idx (mismatches)", float(idx_ok), 0.0)
 
         def scalarized(a, c, ga, gc):
             d1_, _, d2_, _ = chamfer.nn_distance(a, c, impl=impl)
@@ -66,8 +67,8 @@ def check_chamfer(b=4, n=500, m=388, seed=0):
 
         gx1, gx2 = jax.device_get(jax.jit(
             jax.grad(scalarized, argnums=(0, 1)))(x1, x2, g1, g2))
-        _check(f"chamfer[{impl}] grad", max(_maxerr(gx1, rgx1),
-                                            _maxerr(gx2, rgx2)), 5e-5)
+        _check(f"chamfer[{impl}]{tag} grad", max(_maxerr(gx1, rgx1),
+                                                 _maxerr(gx2, rgx2)), 5e-5)
 
 
 def check_emd(b=2, n=256, m=192, seed=1):
@@ -174,6 +175,18 @@ def check_emd_large_n(b=1, n=16384, m=16384, seed=4):
                extra="(relative to grad max)")
 
 
+def check_chamfer_large_n(b=1, n=16384, m=16384, seed=5):
+    """Chamfer at the same large-N regime as check_emd_large_n. Unlike EMD
+    (whose kernel envelope needed round-4's streaming fallback), the
+    Chamfer kernel grids over BOTH point axes with O(TN*TM) VMEM, so
+    16384^2 was always inside its design -- this pins that claim on
+    hardware, forward (running min/argmin across 32x the headline tile
+    count) and the one-hot MXU backward. The dense-XLA impl is skipped: it
+    materializes (B,N,M) by design and is not the large-N path."""
+    check_chamfer(b=b, n=n, m=m, seed=seed, impls=("pallas",),
+                  tag=f" large-N (B={b}, N={n}, M={m})")
+
+
 # Strategic first draws for fuzz(): Pallas tile boundaries +-1, B=1,
 # single-point clouds, extreme N:M (module-level so the test suite can
 # substitute small shapes when smoking the harness on the CPU backend).
@@ -218,10 +231,11 @@ def main(argv=None) -> int:
                         "draws (tile boundaries, B=1, extreme N:M, then "
                         "random) through chamfer and emd on the hardware")
     p.add_argument("--large_n", action="store_true",
-                   help="also check the large-N (N=M=16384) regime: fused "
-                        "kernel recompute branch + streaming XLA path vs "
-                        "the numpy oracle (slow: the host oracle takes "
-                        "minutes at 268M pairs)")
+                   help="also check the large-N (N=M=16384) regime: the "
+                        "Chamfer kernel (fwd+bwd), the fused EMD kernel's "
+                        "recompute branch, and the streaming XLA EMD path "
+                        "vs the numpy oracles (slow: the EMD host oracle "
+                        "takes minutes at 268M pairs)")
     p.add_argument("--compilation_cache_dir", default=None,
                    help="persistent XLA compile cache (fuzz repeats are "
                         "compile-bound without it)")
@@ -238,6 +252,7 @@ def main(argv=None) -> int:
     check_fused_head()
     check_fused_encoder()
     if args.large_n:
+        check_chamfer_large_n()
         check_emd_large_n()
     if args.fuzz:
         fuzz(args.fuzz)

@@ -199,7 +199,19 @@ def roofline_report(config: str, batch: int, num_point: int,
     deliberately ignores the step's HBM traffic (Adam state, activations,
     BN stats), so it under-states the true time bound by 2-3x on this
     workload; `pct_of_mem_bound` is the honest utilization number
-    (round-4: every family measures 85-95% of its memory bound)."""
+    (round-4: every family measures 85-95% of its memory bound).
+
+    The two normalizations have DISJOINT blind spots: the analytic floor
+    counts only kernel compute (no program traffic), while the cost
+    analysis counts only XLA-visible bytes -- the Pallas loss kernels are
+    opaque custom calls that contribute ~zero bytes/flops, so for a
+    kernel-dominated step (model_emd: ~9.4 ms of in-kernel VPU work) the
+    memory bound alone reads absurdly low. Each number under-states the
+    true bound exactly where the other doesn't, so the report also emits
+    the binding constraint ``bound_ms = max(floor_ms, mem_bound_ms)`` and
+    ``pct_of_bound`` -- the single number to read per family. For the
+    Chamfer families the memory bound binds (pct_of_bound ==
+    pct_of_mem_bound); for model_emd the kernel floor binds."""
     budget = step_floor_ms(config, batch, num_point)
     out = {
         "measured_ms": round(measured_ms, 3),
@@ -214,6 +226,9 @@ def roofline_report(config: str, batch: int, num_point: int,
             out.update(whole)
             out["pct_of_mem_bound"] = round(
                 100.0 * whole["mem_bound_ms"] / measured_ms, 1)
+            bound_ms = max(budget["floor_ms"], whole["mem_bound_ms"])
+            out["bound_ms"] = round(bound_ms, 3)
+            out["pct_of_bound"] = round(100.0 * bound_ms / measured_ms, 1)
     return out
 
 

@@ -22,6 +22,12 @@ def test_hwcheck_contracts_pass_on_test_backend():
     _run_clean(hw.check_fused_encoder, b=1, n=16)
 
 
+def test_hwcheck_chamfer_large_n_scaled_down():
+    # The real run is N=M=16384 on the accelerator; here the same code
+    # path (pallas-only, tagged names) at a CPU-sized shape.
+    _run_clean(hw.check_chamfer_large_n, b=1, n=40, m=28)
+
+
 def test_hwcheck_fuzz_one_draw(monkeypatch):
     # Small shapes: the real pool's tile-boundary clouds are sized for
     # the accelerator; interpret mode on CPU wants something quicker.

@@ -119,6 +119,10 @@ def test_whole_program_bound_from_cost_analysis():
     assert abs(r["mem_bound_ms"]
                - 2.412e9 / roofline.HBM_BYTES_PER_S * 1e3) < 1e-3
     assert 90 < r["pct_of_mem_bound"] < 100
+    # On the Chamfer families the memory bound binds (it exceeds the
+    # kernel-only floor), so pct_of_bound reads the mem-bound number.
+    assert r["bound_ms"] == r["mem_bound_ms"]
+    assert r["pct_of_bound"] == r["pct_of_mem_bound"]
     json.dumps(r)
     # list-wrapped analyses (some jax versions) and absent analyses degrade.
     assert roofline.whole_program_bound(
@@ -128,3 +132,21 @@ def test_whole_program_bound_from_cost_analysis():
     r2 = roofline.roofline_report("model", 32, 2048, 3.0,
                                   compiled=_FakeCompiled({}))
     assert "mem_bound_ms" not in r2
+    assert "bound_ms" not in r2
+
+
+def test_binding_bound_for_kernel_dominated_step():
+    """model_emd's loss runs inside an opaque Pallas custom call, so XLA's
+    byte count misses ~9.4 ms of in-kernel VPU work and the raw memory
+    bound reads absurdly low. The binding constraint max(floor, mem_bound)
+    must pick the analytic kernel floor there (round-4: the honest
+    composite normalization for every family)."""
+    # Realistic shape: the emd step's XLA-visible traffic is ~2 GB (network
+    # + Adam), far below its ~9.7 ms kernel floor.
+    fake = _FakeCompiled({"bytes accessed": 2.0e9, "flops": 6.0e9})
+    r = roofline.roofline_report("model_emd", 32, 2048, 12.41, compiled=fake)
+    assert r["pct_of_mem_bound"] < 25.0  # the misleading raw number
+    assert r["bound_ms"] == r["analytic_floor_ms"]
+    assert r["pct_of_bound"] == pytest.approx(
+        r["pct_of_roofline"], abs=0.1)
+    assert 70.0 < r["pct_of_bound"] < 85.0
