@@ -66,6 +66,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model_parallel", type=int, default=d.model_parallel,
                    help="Tensor-parallel degree over the decoder FC stacks "
                         "[default: 1 = off]; mesh is data x model")
+    p.add_argument("--point_parallel", action="store_true",
+                   default=d.point_parallel,
+                   help="Shard the batch's POINT axis over the data axis "
+                        "(parallel/sp.py): the long-N training mode -- "
+                        "encoder sharded by GSPMD, losses via shard_map "
+                        "SP decompositions. num_point must divide by the "
+                        "axis size; exclusive with --model_parallel")
     p.add_argument("--bf16", action=argparse.BooleanOptionalAction,
                    default=d.bf16,
                    help="bfloat16 matmuls in the network (default on; "
@@ -115,7 +122,8 @@ def config_from_args(args) -> TrainConfig:
         no_rotation=args.no_rotation, data_path=args.data_path,
         input_mode=args.input_mode, resume=args.resume, seed=args.seed,
         data_parallel=args.data_parallel,
-        model_parallel=args.model_parallel, bf16=args.bf16,
+        model_parallel=args.model_parallel,
+        point_parallel=args.point_parallel, bf16=args.bf16,
         bf16_params=args.bf16_params,
         profile_dir=args.profile_dir, lr_floor=args.lr_floor,
         log_every=args.log_every, eval_only=args.eval_only,

@@ -39,6 +39,13 @@ class TrainConfig:
                                          # None = all remaining
     model_parallel: int = 1       # tensor-parallel degree over the decoder
                                   # FC stacks (parallel/tp.py); 1 = off
+    point_parallel: bool = False  # shard the batch's POINT axis over the
+                                  # mesh's data axis (parallel/sp.py): the
+                                  # long-N training mode -- encoder sharded
+                                  # by GSPMD, losses via the shard_map SP
+                                  # decompositions. num_point must divide
+                                  # by the axis size; exclusive with
+                                  # model_parallel > 1
     bf16: bool = True             # bfloat16 matmuls in the network (36%
                                   # faster; converges identically to f32 --
                                   # see docs/ARCHITECTURE.md; --no-bf16

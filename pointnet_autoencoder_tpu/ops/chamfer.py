@@ -130,6 +130,22 @@ def _nn_direction_kernel(x1t_ref, x2_ref, dist_ref, idx_ref, *, tile_m: int):
     idx_ref[0] = jnp.where(take, tile_arg, idx_ref[0])
 
 
+def _out_vma(*operands):
+    """Union of the operands' varying-manual-axes (vma) type.
+
+    Under ``jax.shard_map`` with vma checking (jax >= 0.9 always checks
+    collectives against it) a ``pallas_call``'s out ShapeDtypeStructs must
+    carry an explicit vma or tracing fails — the kernel is opaque to the
+    variance checker, so the outputs inherit the union of the inputs'
+    variance. Outside shard_map every aval's vma is frozenset() and the
+    annotation is a no-op. Found driving ``--point_parallel`` on TPU
+    hardware (parallel/sp.py routes the per-shard nn_distance here)."""
+    vma = frozenset()
+    for o in operands:
+        vma |= getattr(jax.typeof(o), "vma", frozenset())
+    return vma
+
+
 def _pad_points(x, multiple):
     """Pad the point axis of (B,P,3) up to a multiple, with far-away points."""
     p = x.shape[1]
@@ -175,8 +191,10 @@ def _nn_one_direction_pallas(xyz1, xyz2, tile_n, tile_m, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, 1, np_), xyz1.dtype),
-            jax.ShapeDtypeStruct((b, 1, np_), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, np_), xyz1.dtype,
+                                 vma=_out_vma(x1t, xyz2p)),
+            jax.ShapeDtypeStruct((b, 1, np_), jnp.int32,
+                                 vma=_out_vma(x1t, xyz2p)),
         ],
         interpret=interpret,
     )(x1t, xyz2p)
@@ -324,7 +342,9 @@ def _nn_grad_one_direction_pallas(x1, g1, idx1, x2, g2, idx2,
         ],
         out_specs=pl.BlockSpec((1, tile_m, 24), lambda bi, mt, nt: (bi, mt, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, mp, 24), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, mp, 24), jnp.float32,
+            vma=_out_vma(x1p, vp, idx1p, idx2p)),
         interpret=interpret,
     )(_split_bf16(x1p), _split_bf16(vp), idx1p, idx2p)
     acc = acc[:, :m, :]

@@ -187,6 +187,44 @@ def check_chamfer_large_n(b=1, n=16384, m=16384, seed=5):
                   tag=f" large-N (B={b}, N={n}, M={m})")
 
 
+def check_sp_shard_map(b=2, n=256, m=192, seed=6):
+    """Compiled Pallas under jax.shard_map (the --point_parallel path).
+
+    The CPU suite runs the SP losses with impl="xla" (Pallas interpret
+    mode cannot trace under shard_map's vma checker — the HLO interpreter
+    inlines the kernel jaxpr), so the compiled-kernel-under-shard_map
+    contract is ONLY checkable on hardware. This is the check that would
+    have caught the round-4 vma regression: pallas_call's out
+    ShapeDtypeStructs must inherit the inputs' varying-manual-axes type
+    (ops/chamfer.py:_out_vma) or shard_map tracing fails. A 1-device mesh
+    exercises the full trace/compile contract; cross-device numerics are
+    pinned on the 8-virtual-device CPU suite."""
+    from jax.sharding import Mesh
+
+    from pointnet_autoencoder_tpu.parallel import sp
+
+    rng = np.random.RandomState(seed)
+    x1 = rng.randn(b, n, 3).astype(np.float32)
+    x2 = rng.randn(b, m, 3).astype(np.float32)
+    rd1, _, rd2, _ = oracles.nn_distance_np(x1, x2)
+    rloss = float(rd1.mean() + rd2.mean())
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+
+    def loss(a, c):
+        return sp.chamfer_loss_point_sharded(a, c, mesh)
+
+    v = float(jax.jit(loss)(x1, x2))
+    _check("sp[shard_map] chamfer loss", abs(v - rloss), 1e-5)
+    g1, g2 = jax.device_get(jax.jit(jax.grad(loss, argnums=(0, 1)))(x1, x2))
+    # Oracle gradient of mean(d1)+mean(d2) via the analytic VJP oracle.
+    _, ri1, _, ri2 = oracles.nn_distance_np(x1, x2)
+    og1 = np.full((b, n), 1.0 / (b * n), np.float32)
+    og2 = np.full((b, m), 1.0 / (b * m), np.float32)
+    rg1, rg2 = oracles.nn_distance_grad_np(x1, x2, ri1, ri2, og1, og2)
+    _check("sp[shard_map] chamfer grad",
+           max(_maxerr(g1, rg1), _maxerr(g2, rg2)), 5e-5)
+
+
 # Strategic first draws for fuzz(): Pallas tile boundaries +-1, B=1,
 # single-point clouds, extreme N:M (module-level so the test suite can
 # substitute small shapes when smoking the harness on the CPU backend).
@@ -251,6 +289,7 @@ def main(argv=None) -> int:
     check_emd()
     check_fused_head()
     check_fused_encoder()
+    check_sp_shard_map()
     if args.large_n:
         check_chamfer_large_n()
         check_emd_large_n()

@@ -396,7 +396,8 @@ def sp_loss_fn(name: str, mesh: Mesh, axis: str = DATA_AXIS,
 
 def make_sp_step_fns(model, spec, tx, bn_schedule, lr_schedule, mesh: Mesh,
                      axis: str = DATA_AXIS,
-                     batch_axis: Optional[str] = None):
+                     batch_axis: Optional[str] = None,
+                     stochastic_round: bool = False):
     """(train_step, eval_step) with the batch's point axis sharded.
 
     Same contract as train.loop.make_step_fns; callers feed batches placed
@@ -422,4 +423,5 @@ def make_sp_step_fns(model, spec, tx, bn_schedule, lr_schedule, mesh: Mesh,
     sp_spec = dataclasses.replace(
         spec, loss_fn=sp_loss_fn(spec.name, mesh, axis, batch_axis))
     return make_step_fns(model, sp_spec, tx, bn_schedule, lr_schedule,
-                         pred_sharding=NamedSharding(mesh, P(batch_axis)))
+                         pred_sharding=NamedSharding(mesh, P(batch_axis)),
+                         stochastic_round=stochastic_round)

@@ -46,7 +46,7 @@ from pointnet_autoencoder_tpu.data.shapenet_part import PartDataset
 from pointnet_autoencoder_tpu.models.autoencoder import ModelSpec
 from pointnet_autoencoder_tpu.models.registry import get_model_spec
 from pointnet_autoencoder_tpu.parallel import mesh as meshlib
-from pointnet_autoencoder_tpu.parallel import tp
+from pointnet_autoencoder_tpu.parallel import sp, tp
 from pointnet_autoencoder_tpu.train import master, schedules
 from pointnet_autoencoder_tpu.train.checkpoint import (
     AsyncSaver,
@@ -165,7 +165,23 @@ class Trainer:
 
         self.mesh = meshlib.make_mesh(data_parallel=config.data_parallel,
                                       model_parallel=config.model_parallel)
-        meshlib.check_batch_divisible(config.batch_size, self.mesh)
+        if config.point_parallel:
+            # SP training (parallel/sp.py): the POINT axis shards over the
+            # mesh's data axis instead of the batch; the batch replicates,
+            # so its divisibility constraint moves to num_point.
+            if config.model_parallel > 1:
+                raise ValueError(
+                    "--point_parallel does not compose with "
+                    "--model_parallel (the TP decoder's point-sharded "
+                    "output conflicts with the SP losses' replicated "
+                    "pred seam)")
+            k = self.mesh.shape[meshlib.DATA_AXIS]
+            if config.num_point % k != 0:
+                raise ValueError(
+                    f"--point_parallel needs num_point divisible by the "
+                    f"data-axis size ({config.num_point} % {k} != 0)")
+        else:
+            meshlib.check_batch_divisible(config.batch_size, self.mesh)
 
         class_choice = [config.category] if config.category else None
         self.train_dataset = train_dataset or PartDataset(
@@ -179,7 +195,9 @@ class Trainer:
             cache_dir=config.cache_dir,
         )
 
-        batch_sharding = meshlib.batch_sharding(self.mesh)
+        batch_sharding = (sp.point_batch_sharding(self.mesh)
+                          if config.point_parallel
+                          else meshlib.batch_sharding(self.mesh))
         self.input_mode = config.input_mode
         if self.input_mode == "device":
             # HBM-resident dataset: resample+rotate on-device; per step the
@@ -234,15 +252,24 @@ class Trainer:
             self.mesh, TrainState.create(variables, self.tx)
         )
 
-        train_step, eval_step = make_step_fns(
-            self.model, self.spec, self.tx, bn, lr,
-            stochastic_round=config.bf16_params,
-            # Under TP the decoder output is point-sharded over 'model';
-            # gather it to the loss kernels' batch sharding at the seam.
-            pred_sharding=(batch_sharding
-                           if self.mesh.shape[meshlib.MODEL_AXIS] > 1
-                           else None),
-        )
+        if config.point_parallel:
+            # SP step: shard_map losses + GSPMD-sharded encoder
+            # (parallel/sp.py); pred replicates at the loss seam.
+            train_step, eval_step = sp.make_sp_step_fns(
+                self.model, self.spec, self.tx, bn, lr, self.mesh,
+                stochastic_round=config.bf16_params,
+            )
+        else:
+            train_step, eval_step = make_step_fns(
+                self.model, self.spec, self.tx, bn, lr,
+                stochastic_round=config.bf16_params,
+                # Under TP the decoder output is point-sharded over
+                # 'model'; gather it to the loss kernels' batch sharding
+                # at the seam.
+                pred_sharding=(batch_sharding
+                               if self.mesh.shape[meshlib.MODEL_AXIS] > 1
+                               else None),
+            )
         if self.input_mode == "device":
             num_point = config.num_point
             rotate = not config.no_rotation

@@ -302,6 +302,52 @@ def test_trainer_model_parallel(fixture_root, tmp_path):
     trainer2.close()
 
 
+def test_trainer_point_parallel(fixture_root, tmp_path):
+    """--point_parallel end-to-end (round 4): the Trainer builds the SP
+    step (parallel/sp.py), shards the point axis over the 8-device data
+    axis, trains to an eval loss in the same neighborhood as the default
+    DP Trainer at the same seed, and rejects invalid configs.
+
+    Neighborhood, not equality: per-step SP-vs-DP agreement is exact up
+    to f32 summation order (pinned at 1e-5 in test_parallel), but two
+    epochs of Adam on an untrained net amplify those ulps chaotically
+    (measured ~4% trajectory divergence) -- this test proves the CLI/
+    Trainer wiring, the per-step numerics live in test_parallel."""
+    import pytest as _pytest
+
+    from pointnet_autoencoder_tpu.train.loop import Trainer
+
+    results = {}
+    for tag, point_parallel in (("dp", False), ("sp", True)):
+        cfg = TrainConfig(
+            model="model", category="Chair",
+            log_dir=str(tmp_path / f"log_{tag}"), num_point=64,
+            max_epoch=2, batch_size=8, data_path=fixture_root, seed=0,
+            log_every=1, point_parallel=point_parallel,
+        )
+        trainer = Trainer(cfg)
+        if point_parallel:
+            shards = trainer.train_pipe  # pipeline exists; check sharding
+            assert shards is not None
+        results[tag] = trainer.train()
+        trainer.close()
+    assert np.isfinite(results["sp"])
+    np.testing.assert_allclose(results["sp"], results["dp"], rtol=0.15)
+
+    with _pytest.raises(ValueError, match="divisible by the data-axis"):
+        Trainer(TrainConfig(
+            model="model", category="Chair",
+            log_dir=str(tmp_path / "log_bad"), num_point=60,
+            max_epoch=1, batch_size=8, data_path=fixture_root,
+            point_parallel=True))
+    with _pytest.raises(ValueError, match="does not compose"):
+        Trainer(TrainConfig(
+            model="model", category="Chair",
+            log_dir=str(tmp_path / "log_bad2"), num_point=64,
+            max_epoch=1, batch_size=8, data_path=fixture_root,
+            point_parallel=True, model_parallel=2))
+
+
 def test_trainer_host_input_mode(fixture_root, tmp_path):
     """The reference-style host assembly path end-to-end."""
     cfg = TrainConfig(
