@@ -34,6 +34,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# shard_map vma inheritance for the pallas_call out shapes (jax >= 0.9
+# requires it; found driving --point_parallel on TPU hardware -- see
+# ops/tpu.py:out_vma for the full story).
+from pointnet_autoencoder_tpu.ops.tpu import out_vma as _out_vma
+
 _DEFAULT_TILE_N = 512
 _DEFAULT_TILE_M = 512
 # Padding coordinate for remainder tiles: far enough that padded points never
@@ -130,20 +135,6 @@ def _nn_direction_kernel(x1t_ref, x2_ref, dist_ref, idx_ref, *, tile_m: int):
     idx_ref[0] = jnp.where(take, tile_arg, idx_ref[0])
 
 
-def _out_vma(*operands):
-    """Union of the operands' varying-manual-axes (vma) type.
-
-    Under ``jax.shard_map`` with vma checking (jax >= 0.9 always checks
-    collectives against it) a ``pallas_call``'s out ShapeDtypeStructs must
-    carry an explicit vma or tracing fails — the kernel is opaque to the
-    variance checker, so the outputs inherit the union of the inputs'
-    variance. Outside shard_map every aval's vma is frozenset() and the
-    annotation is a no-op. Found driving ``--point_parallel`` on TPU
-    hardware (parallel/sp.py routes the per-shard nn_distance here)."""
-    vma = frozenset()
-    for o in operands:
-        vma |= getattr(jax.typeof(o), "vma", frozenset())
-    return vma
 
 
 def _pad_points(x, multiple):

@@ -63,7 +63,10 @@ from jax.experimental.pallas import tpu as pltpu
 _NUM_LEVELS = 10  # j = 7..-2 (tf_approxmatch_g.cu:21-25); last level is 0
 _LOG2E = math.log2(math.e)
 
-from pointnet_autoencoder_tpu.ops.tpu import VMEM_LIMIT_BYTES as _VMEM_LIMIT
+from pointnet_autoencoder_tpu.ops.tpu import (
+    VMEM_LIMIT_BYTES as _VMEM_LIMIT,
+    out_vma,
+)
 
 # Up to a full (4096, 4096) f32 distance cache: measured 8.7 ms vs 11.2 ms
 # for the recompute branch at B=4, N=M=4096 (exact same results).
@@ -267,9 +270,12 @@ def emd_forward_pallas(xyz1: jax.Array, xyz2: jax.Array,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, 1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, 3), jnp.float32),
-            jax.ShapeDtypeStruct((b, 3, m), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, 1), jnp.float32,
+                                 vma=out_vma(x1, x2t)),
+            jax.ShapeDtypeStruct((b, n, 3), jnp.float32,
+                                 vma=out_vma(x1, x2t)),
+            jax.ShapeDtypeStruct((b, 3, m), jnp.float32,
+                                 vma=out_vma(x1, x2t)),
         ],
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),

@@ -38,6 +38,7 @@ from pointnet_autoencoder_tpu.ops.fused_head import (
 from pointnet_autoencoder_tpu.ops.tpu import (
     VMEM_LIMIT_BYTES as _VMEM_LIMIT,
     matmul_precision as _precision,
+    out_vma,
 )
 
 # (w, b, gamma, beta, mean, var) for one Dense+BN layer.
@@ -159,8 +160,10 @@ def fused_encoder_eval(points: jax.Array, layers: Sequence[LayerParams],
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, 1, f_out), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, f_out), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, f_out), jnp.float32,
+                                 vma=out_vma(*operands)),
+            jax.ShapeDtypeStruct((b, 1, f_out), jnp.float32,
+                                 vma=out_vma(*operands)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,

@@ -54,6 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 from pointnet_autoencoder_tpu.ops.tpu import (
     VMEM_LIMIT_BYTES as _VMEM_LIMIT,
     matmul_precision as _precision,
+    out_vma,
 )
 
 
@@ -158,8 +159,10 @@ def _forward_pallas(x, w, scale, shift, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, 1, f), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, f), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, f), jnp.float32,
+                                 vma=out_vma(x, w, scale, shift)),
+            jax.ShapeDtypeStruct((b, 1, f), jnp.int32,
+                                 vma=out_vma(x, w, scale, shift)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
@@ -230,8 +233,10 @@ def _backward_pallas(x, w, gvals, argmax, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n, c), x.dtype),
-            jax.ShapeDtypeStruct((c, f), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, c), x.dtype,
+                                 vma=out_vma(x, w, gvals, argmax)),
+            jax.ShapeDtypeStruct((c, f), jnp.float32,
+                                 vma=out_vma(x, w, gvals, argmax)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,

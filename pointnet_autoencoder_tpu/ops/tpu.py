@@ -10,6 +10,25 @@ headroom for double-buffered block IO.
 VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 
 
+def out_vma(*operands):
+    """Union of the operands' varying-manual-axes (vma) type.
+
+    Under ``jax.shard_map`` (jax >= 0.9, which always type-checks
+    collectives against vma) a ``pallas_call``'s out ShapeDtypeStructs
+    must carry an explicit vma or tracing fails -- the kernel is opaque
+    to the variance checker, so outputs inherit the union of the inputs'
+    variance. Outside shard_map every aval's vma is frozenset() and the
+    annotation is a no-op. Every Pallas op threads this so any of them
+    can sit inside a shard_map body (parallel/sp.py routes the per-shard
+    Chamfer here today; the rest are future-proofed the same way)."""
+    import jax
+
+    vma = frozenset()
+    for o in operands:
+        vma |= getattr(jax.typeof(o), "vma", frozenset())
+    return vma
+
+
 def matmul_precision(dtype):
     """Matmul precision for operands of ``dtype``.
 
