@@ -5,11 +5,24 @@ Workload: the reference's headline config (train.py defaults) -- 'model'
 -- as the full jitted+donated training step (forward, Chamfer loss via the
 Pallas kernel, backward, Adam, BN stat update) on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Artifact-reliability contract (round-4 verdict #1: the all-at-end version
+timed out under the driver and left a null artifact):
+
+- The persistent XLA compilation cache is enabled at a repo-local path, so
+  a re-run (including the driver's, after this round's warming run) pays
+  ~1 s per program instead of 4.5 s-2 min server-side compiles.
+- A COMPLETE JSON line prints as soon as the headline flagship metric
+  exists, and the growing artifact RE-prints after every extra completes.
+  A kill at any point leaves the last printed line as a parseable
+  artifact; consumers should read the LAST JSON line.
+- A wall-clock budget (BENCH_BUDGET_S, default 240 s) gates each extra:
+  once exceeded, remaining extras are skipped (named in extras.skipped)
+  and the final line still prints.
 
 The hardware-normalized numbers are extras.roofline: measured step time
-vs the analytic v5e floor (utils/roofline.py mechanizes the accounting
-from docs/ARCHITECTURE.md) — these are the primary performance evidence.
+vs the analytic v5e floor and the whole-program memory bound
+(utils/roofline.py mechanizes the accounting from docs/ARCHITECTURE.md);
+``pct_of_bound`` per family is the honest single number.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); the baseline
 used here is a documented ESTIMATE of the reference stack's throughput --
@@ -22,14 +35,35 @@ schema asks for it; read the roofline numbers first.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 BASELINE_SHAPES_PER_SEC = 300.0  # estimated reference GPU throughput
 
 
 def main() -> None:
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "240"))
+
+    from pointnet_autoencoder_tpu.utils.backend import (
+        enable_compilation_cache,
+    )
+
+    # Warmed by this round's own runs; the driver's end-of-round run then
+    # reloads every program (~1 s each) instead of recompiling (4.5 s-2 min
+    # each on the tunnel server, which does not cache across processes).
+    enable_compilation_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".xla_cache"),
+        min_compile_time_secs=0.5,
+    )
+
+    import contextlib
+
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from pointnet_autoencoder_tpu.models.registry import get_model_spec
     from pointnet_autoencoder_tpu.parallel import mesh as meshlib
@@ -39,6 +73,23 @@ def main() -> None:
         TrainState,
         make_optimizer,
     )
+    from pointnet_autoencoder_tpu.utils import roofline
+
+    # Run model/optimizer INIT on the local CPU backend and device_put the
+    # results: on the tunneled TPU backend every tiny jitted init program
+    # is a server round trip whose compile cost is contention-dependent --
+    # measured 133 s of init_variables wall before the headline when the
+    # shared compile service was busy, vs ~0.1 s on local CPU. The timed
+    # programs themselves still compile/execute on the TPU, which is the
+    # unavoidable (and budgeted) part.
+    try:
+        _cpu = jax.local_devices(backend="cpu")[0]
+
+        def on_host():
+            return jax.default_device(_cpu)
+    except RuntimeError:
+        def on_host():
+            return contextlib.nullcontext()
 
     batch_size, num_point = 32, 2048
     mesh = meshlib.make_mesh()
@@ -48,17 +99,32 @@ def main() -> None:
     bn = schedules.bn_momentum_schedule(batch_size, 200000)
     tx = make_optimizer("adam", lr)
 
-    # Two on-device batches, alternated so no result is trivially cached.
+    # Two on-device batches, alternated so no result is trivially cached;
+    # generated with numpy (no on-device RNG programs pre-headline).
     batches = [
         jax.device_put(
-            jax.random.normal(jax.random.PRNGKey(i),
-                              (batch_size, num_point, 3), jnp.float32),
+            np.random.RandomState(i).randn(
+                batch_size, num_point, 3).astype(np.float32),
             meshlib.batch_sharding(mesh),
         )
         for i in range(2)
     ]
 
     compiled_steps = {}
+
+    def elapsed() -> float:
+        return time.perf_counter() - t_start
+
+    def time_left(need_s: float = 0.0) -> bool:
+        return elapsed() + need_s < budget_s
+
+    def mark(msg: str) -> None:
+        # Diagnosability under driver timeouts: stage marks go to stderr
+        # (stdout carries only artifact JSON lines) so a killed run shows
+        # WHERE the wall went (tunnel compile contention has ranged 4.5 s
+        # to >10 min for the same program across sessions).
+        print(f"[bench {elapsed():7.1f}s] {msg}", file=sys.stderr,
+              flush=True)
 
     def time_step(spec_name: str, iters: int, windows: int) -> float:
         """Best-of-windows seconds per jitted donated train step.
@@ -77,16 +143,21 @@ def main() -> None:
         spec = get_model_spec(spec_name)
         # Default training config: bf16 matmuls (convergence-equivalent to
         # f32, per docs/ARCHITECTURE.md; losses and BN stay f32).
-        model, variables = spec.init_variables(
-            jax.random.PRNGKey(0), num_point, dtype=jnp.bfloat16)
-        state = meshlib.replicate(mesh, TrainState.create(variables, tx))
+        with on_host():
+            model, variables = spec.init_variables(
+                jax.random.PRNGKey(0), num_point, dtype=jnp.bfloat16)
+            host_state = TrainState.create(variables, tx)
+        state = meshlib.replicate(mesh, host_state)
         train_step, _ = make_step_fns(model, spec, tx, bn, lr)
+        mark(f"{spec_name}: lowering + local compile")
         step = jax.jit(train_step, donate_argnums=(0,)).lower(
             state, batches[0]).compile()
         compiled_steps[spec_name] = step
+        mark(f"{spec_name}: first execution (server-side compile)")
         for i in range(3):
             state, metrics = step(state, batches[i % 2])
         float(metrics["loss"])
+        mark(f"{spec_name}: warm; timing {windows}x{iters}")
         best_dt = float("inf")
         for _ in range(windows):
             t0 = time.perf_counter()
@@ -96,18 +167,57 @@ def main() -> None:
             best_dt = min(best_dt, time.perf_counter() - t0)
         return best_dt / iters
 
-    step_s = time_step("model", iters=150, windows=5)
+    # -- headline: flagship train step ------------------------------------
+    mark("setup done (host init + device batches)")
+    step_s = time_step("model", iters=150, windows=4)
     shapes_per_sec_per_chip = batch_size / step_s / n_chips
-    # Secondary tracked metric: the model_emd train step (VERDICT round-1
-    # flagged its EMD-dominated step time; keep it driver-visible).
-    emd_step_s = time_step("model_emd", iters=40, windows=3)
-    # Remaining decoder families, shorter windows: the artifact proves
-    # per-family step time every round (model_cpu is bit-equal to model
-    # on TPU -- same program -- and is skipped).
-    family_step_s = {
-        name: time_step(name, iters=60, windows=2)
-        for name in ("model_upconv", "model_fc_upconv", "model_hierachy")
+
+    extras = {
+        "model_step_ms": round(1e3 * step_s, 3),
+        "roofline": {
+            "model": roofline.roofline_report(
+                "model", batch_size // n_chips, num_point, 1e3 * step_s,
+                compiled=compiled_steps.get("model")),
+        },
+        "skipped": [],
     }
+    result = {
+        "metric": "train_throughput_model_b32_n2048",
+        "value": round(shapes_per_sec_per_chip, 2),
+        "unit": "shapes/sec/chip",
+        "vs_baseline": round(
+            shapes_per_sec_per_chip / BASELINE_SHAPES_PER_SEC, 3
+        ),
+        "extras": extras,
+    }
+
+    def emit():
+        extras["bench_wall_s"] = round(elapsed(), 1)
+        print(json.dumps(result))
+        sys.stdout.flush()
+
+    emit()  # the headline artifact exists from this point on
+
+    # -- extras, in evidence-priority order; each gated by the budget ------
+
+    def extra(name: str, need_s: float, fn) -> None:
+        if not time_left(need_s):
+            extras["skipped"].append(name)
+            return
+        fn()
+        emit()
+
+    def do_emd():
+        # Secondary tracked metric: the model_emd train step (VERDICT
+        # round-1 flagged its EMD-dominated step time; keep it
+        # driver-visible).
+        emd_step_s = time_step("model_emd", iters=40, windows=3)
+        extras["model_emd_step_ms"] = round(1e3 * emd_step_s, 3)
+        extras["model_emd_shapes_per_sec_per_chip"] = round(
+            batch_size / emd_step_s / n_chips, 2)
+        extras["roofline"]["model_emd"] = roofline.roofline_report(
+            "model_emd", batch_size // n_chips, num_point, 1e3 * emd_step_s,
+            compiled=compiled_steps.get("model_emd"))
 
     def time_forward(iters: int, windows: int, *, b1: bool = False,
                      batch: int | None = None) -> float:
@@ -120,14 +230,21 @@ def main() -> None:
         so one scalar fetch from the last dispatch is a barrier for the
         whole window."""
         spec = get_model_spec("model")
-        model, variables = spec.init_variables(
-            jax.random.PRNGKey(0), num_point, dtype=jnp.bfloat16)
+        with on_host():
+            model, variables = spec.init_variables(
+                jax.random.PRNGKey(0), num_point, dtype=jnp.bfloat16)
         if b1:
-            data = [batches[i][:1] for i in range(2)]
+            data = [jax.device_put(
+                np.random.RandomState(i).randn(
+                    1, num_point, 3).astype(np.float32),
+                jax.devices()[0]) for i in range(2)]
+            variables = jax.device_put(variables, jax.devices()[0])
         elif batch is not None:
-            data = [jax.random.normal(jax.random.PRNGKey(10 + i),
-                                      (batch, num_point, 3), jnp.float32)
-                    for i in range(2)]
+            data = [jax.device_put(
+                np.random.RandomState(10 + i).randn(
+                    batch, num_point, 3).astype(np.float32),
+                jax.devices()[0]) for i in range(2)]
+            variables = jax.device_put(variables, jax.devices()[0])
         else:
             variables = meshlib.replicate(mesh, variables)
             data = batches
@@ -149,76 +266,97 @@ def main() -> None:
             best_dt = min(best_dt, time.perf_counter() - t0)
         return best_dt / iters
 
-    fwd_s = time_forward(iters=200, windows=3)
-    # B=1 cannot shard over a multi-chip 'data' axis; latency is a
-    # single-chip number by definition.
-    fwd_b1_s = (time_forward(iters=300, windows=3, b1=True)
-                if n_chips == 1 else None)
-    # Throughput-deployment batch (round-4 serving analysis: ~85% of the
-    # refined floor at B=512); single-chip row like the latency config.
-    fwd_b512_s = (time_forward(iters=60, windows=3, batch=512)
-                  if n_chips == 1 else None)
+    def do_serving():
+        fwd_s = time_forward(iters=200, windows=3)
+        serving_floor_ms = roofline.forward_floor_ms(
+            "model", batch_size // n_chips, num_point)
+        extras["serving_fwd_ms"] = round(1e3 * fwd_s, 3)
+        extras["serving_shapes_per_sec_per_chip"] = round(
+            batch_size / fwd_s / n_chips, 2)
+        extras["serving_roofline"] = {
+            "measured_ms": round(1e3 * fwd_s, 3),
+            "analytic_floor_ms": round(serving_floor_ms, 3),
+            "pct_of_roofline": round(
+                100.0 * serving_floor_ms / (1e3 * fwd_s), 1),
+        }
 
-    from pointnet_autoencoder_tpu.utils import roofline
+    def dispatch_overhead_s(iters: int = 300, windows: int = 3) -> float:
+        """Per-iteration host dispatch cost of the chained-dispatch timing
+        pattern, measured with a near-zero device program (one scalar add):
+        its device time is ~0, so the per-iter wall time IS the host-side
+        dispatch-issue overhead. Subtracted from the B=1 serving row to
+        separate device latency from tunnel/host contention, which swings
+        0.2-0.5 ms across sessions (round-4 verdict item #8)."""
+        f = jax.jit(lambda x: x + 1.0)
+        x = jnp.float32(0.0)
+        y = f(x)
+        float(y)
+        best_dt = float("inf")
+        for _ in range(windows):
+            t0 = time.perf_counter()
+            y = x
+            for _ in range(iters):
+                y = f(y)
+            float(y)
+            best_dt = min(best_dt, time.perf_counter() - t0)
+        return best_dt / iters
 
-    serving_floor_ms = roofline.forward_floor_ms(
-        "model", batch_size // n_chips, num_point)
-    print(json.dumps({
-        "metric": "train_throughput_model_b32_n2048",
-        "value": round(shapes_per_sec_per_chip, 2),
-        "unit": "shapes/sec/chip",
-        "vs_baseline": round(
-            shapes_per_sec_per_chip / BASELINE_SHAPES_PER_SEC, 3
-        ),
-        "extras": {
-            "model_step_ms": round(1e3 * step_s, 3),
-            "model_emd_step_ms": round(1e3 * emd_step_s, 3),
-            "model_emd_shapes_per_sec_per_chip": round(
-                batch_size / emd_step_s / n_chips, 2),
-            # Serving: eval-mode forward (the InferenceSession program).
-            "serving_fwd_ms": round(1e3 * fwd_s, 3),
-            "serving_shapes_per_sec_per_chip": round(
-                batch_size / fwd_s / n_chips, 2),
-            "serving_b1_latency_ms": (round(1e3 * fwd_b1_s, 3)
-                                      if fwd_b1_s is not None else None),
-            "serving_b512": (None if fwd_b512_s is None else {
-                "measured_ms": round(1e3 * fwd_b512_s, 3),
-                "shapes_per_sec_per_chip": round(512 / fwd_b512_s, 2),
-                "analytic_floor_ms": round(
-                    roofline.forward_floor_ms("model", 512, num_point), 3),
-                "pct_of_roofline": round(
-                    100.0 * roofline.forward_floor_ms("model", 512,
-                                                      num_point)
-                    / (1e3 * fwd_b512_s), 1),
-            }),
-            # Hardware-normalized: measured vs the analytic v5e floor
-            # (sum of MXU matmul time + loss-kernel VPU time; see
-            # utils/roofline.py for the op accounting). The floor models
-            # ONE chip's share of the sharded batch, matching the per-chip
-            # throughput number.
-            "family_step_ms": {
-                name: round(1e3 * s, 3) for name, s in family_step_s.items()
-            },
-            # Each entry carries BOTH normalizations: the kernel-only
-            # analytic floor (pct_of_roofline) and XLA's whole-program
-            # HBM-bytes memory bound (pct_of_mem_bound -- the honest
-            # utilization; the floor ignores Adam/activation traffic).
-            "roofline": {
-                name: roofline.roofline_report(
-                    name, batch_size // n_chips, num_point, 1e3 * s,
-                    compiled=compiled_steps.get(name))
-                for name, s in [("model", step_s), ("model_emd", emd_step_s),
-                                *family_step_s.items()]
-            },
-            # Serving forward vs its fwd-only MXU floor (no loss kernels).
-            "serving_roofline": {
-                "measured_ms": round(1e3 * fwd_s, 3),
-                "analytic_floor_ms": round(serving_floor_ms, 3),
-                "pct_of_roofline": round(
-                    100.0 * serving_floor_ms / (1e3 * fwd_s), 1),
-            },
-        },
-    }))
+    def do_b1():
+        # B=1 cannot shard over a multi-chip 'data' axis; latency is a
+        # single-chip number by definition.
+        if n_chips != 1:
+            return
+        fwd_b1_s = time_forward(iters=300, windows=3, b1=True)
+        disp_s = dispatch_overhead_s()
+        extras["serving_b1_latency_ms"] = round(1e3 * fwd_b1_s, 3)
+        extras["serving_b1"] = {
+            "raw_ms": round(1e3 * fwd_b1_s, 3),
+            "dispatch_overhead_ms": round(1e3 * disp_s, 3),
+            # The session-stable number: device execution time with the
+            # measured host dispatch share removed.
+            "dispatch_corrected_ms": round(1e3 * (fwd_b1_s - disp_s), 3),
+        }
+
+    def do_families():
+        # Remaining decoder families, shorter windows: the artifact proves
+        # per-family step time every round (model_cpu is bit-equal to model
+        # on TPU -- same program -- and is skipped).
+        fam = {}
+        for name in ("model_upconv", "model_fc_upconv", "model_hierachy"):
+            if not time_left(20.0):
+                extras["skipped"].append(name)
+                continue
+            s = fam[name] = time_step(name, iters=60, windows=2)
+            extras["roofline"][name] = roofline.roofline_report(
+                name, batch_size // n_chips, num_point, 1e3 * s,
+                compiled=compiled_steps.get(name))
+        extras["family_step_ms"] = {
+            name: round(1e3 * s, 3) for name, s in fam.items()
+        }
+
+    def do_b512():
+        # Throughput-deployment batch (round-4 serving analysis: ~85% of
+        # the refined floor at B=512); single-chip row like the latency
+        # config.
+        if n_chips != 1:
+            return
+        fwd_b512_s = time_forward(iters=60, windows=3, batch=512)
+        floor = roofline.forward_floor_ms("model", 512, num_point)
+        extras["serving_b512"] = {
+            "measured_ms": round(1e3 * fwd_b512_s, 3),
+            "shapes_per_sec_per_chip": round(512 / fwd_b512_s, 2),
+            "analytic_floor_ms": round(floor, 3),
+            "pct_of_roofline": round(100.0 * floor / (1e3 * fwd_b512_s), 1),
+        }
+
+    # Rough per-extra compile+measure costs (warm-cache; a cold-cache run
+    # pays more, which is exactly what the budget gate is for).
+    extra("model_emd", 30.0, do_emd)
+    extra("serving", 15.0, do_serving)
+    extra("serving_b1", 10.0, do_b1)
+    extra("families", 25.0, do_families)
+    extra("serving_b512", 15.0, do_b512)
+    emit()
 
 
 if __name__ == "__main__":

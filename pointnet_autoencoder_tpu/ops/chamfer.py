@@ -31,6 +31,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from pointnet_autoencoder_tpu.ops import tpu as _tpu_mod
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -51,7 +53,7 @@ def _auto_impl() -> str:
     # Mosaic lowers the f32 cross-term dot to a single-pass bf16 matmul
     # (~1e-1 absolute d2 error, 10% argmin flips) and the K=3 contraction
     # wastes the systolic array -- the broadcast VPU kernel is 2.3x faster.
-    return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return "pallas" if _tpu_mod.compute_on_tpu() else "xla"
 
 
 # ---------------------------------------------------------------------------
@@ -195,7 +197,7 @@ def _nn_one_direction_pallas(xyz1, xyz2, tile_n, tile_m, interpret):
 def _nn_distance_pallas(xyz1, xyz2, tile_n=_DEFAULT_TILE_N,
                         tile_m=_DEFAULT_TILE_M, interpret=None):
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = not _tpu_mod.compute_on_tpu()
     dist1, idx1 = _nn_one_direction_pallas(xyz1, xyz2, tile_n, tile_m, interpret)
     dist2, idx2 = _nn_one_direction_pallas(xyz2, xyz1, tile_n, tile_m, interpret)
     return dist1, idx1, dist2, idx2
@@ -349,7 +351,7 @@ def _nn_distance_bwd_pallas(xyz1, xyz2, idx1, idx2, g_d1, g_d2,
                             tile_n=_DEFAULT_TILE_N, tile_m=_DEFAULT_TILE_M,
                             interpret=None):
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = not _tpu_mod.compute_on_tpu()
     gx2 = _nn_grad_one_direction_pallas(
         xyz1, g_d1, idx1, xyz2, g_d2, idx2, tile_n, tile_m, interpret)
     gx1 = _nn_grad_one_direction_pallas(

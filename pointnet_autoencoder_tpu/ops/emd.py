@@ -38,6 +38,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from pointnet_autoencoder_tpu.ops import tpu as _tpu_mod
+
 # Shared squared-distance helper: the fused outer-difference form (NOT the
 # |a|^2+|b|^2-2ab matmul identity) so every impl agrees bit-for-bit with
 # the Pallas kernels -- see its docstring for the footgun.
@@ -232,15 +234,27 @@ _DENSE_BYTES_LIMIT = 1 << 30
 
 
 def _pick_row_chunk(b: int, n: int, m: int,
-                    budget_bytes: int = 256 * 1024 * 1024) -> int:
-    """Largest divisor of n whose (B, chunk, M) f32 buffer fits the budget
-    (>= 1 always: a prime N streams row by row)."""
+                    budget_bytes: int = 256 * 1024 * 1024,
+                    max_chunks: int = 64) -> int:
+    """Row-chunk size for the streaming path: the largest count that fits
+    the (B, chunk, M) byte budget, but never more than ``max_chunks``
+    chunks total, and rounded up to the f32 sublane multiple (8).
+
+    The chunk-count bound is the round-4 fix (verdict #4): the old
+    divisor-only rule degenerated to chunk=1 for a prime or awkward N --
+    a lax.scan of N iterations x 10 levels, compile-time and runtime
+    poison. Any N now streams in <= max_chunks steps; the caller pads the
+    row axis up to a chunk multiple with zero-capacity rows, which the
+    annealing math ignores exactly (ratioL = remainL/suml = 0 -> no mass,
+    no cost, no gradient), the same self-masking the Chamfer kernel uses
+    for its tile padding. For extreme B*M the budget is exceeded rather
+    than the chunk bound (a 64-step scan of oversized chunks beats a
+    100k-step scan of tiny ones). Reference anchor: the CUDA kernel
+    streams arbitrary n,m with no divisibility demands
+    (tf_approxmatch_g.cu:1-179)."""
     limit = max(1, budget_bytes // (4 * b * m))
-    best = 1
-    for c in range(1, min(n, limit) + 1):
-        if n % c == 0:
-            best = c
-    return best
+    chunk = min(n, max(limit, -(-n // max_chunks)))
+    return -8 * (-chunk // 8)  # round up to the sublane multiple
 
 
 def _emd_forward_chunked(xyz1: jax.Array, xyz2: jax.Array):
@@ -262,12 +276,25 @@ def _emd_forward_chunked(xyz1: jax.Array, xyz2: jax.Array):
     b, n, _ = xyz1.shape
     m = xyz2.shape[1]
     chunk = _pick_row_chunk(b, n, m)
-    nc = n // chunk
+    nc = -(-n // chunk)
+    n_pad = nc * chunk
     multi_l, multi_r = _capacities(n, m)
     f32 = jnp.float32
+    x1 = xyz1.astype(f32)
+    if n_pad != n:
+        # Pad the row axis to a chunk multiple. Padded rows carry ZERO
+        # initial capacity (see remain_l init below), so they transport no
+        # mass, add no cost, and accumulate no gradient -- their garbage
+        # distances never matter (self-masking; _pick_row_chunk docstring).
+        x1 = jnp.concatenate(
+            [x1, jnp.zeros((b, n_pad - n, 3), f32)], axis=1)
     # (nc, B, chunk, 3): scan-major chunk layout.
-    x1 = xyz1.astype(f32).reshape(b, nc, chunk, 3).transpose(1, 0, 2, 3)
+    x1 = x1.reshape(b, nc, chunk, 3).transpose(1, 0, 2, 3)
     x2 = xyz2.astype(f32)
+    # Initial row capacities: multi_l on real rows, 0 on padding.
+    row_valid = (jnp.arange(n_pad).reshape(nc, 1, chunk) < n)
+    remain_l0 = jnp.where(row_valid, multi_l, 0.0).astype(f32)
+    remain_l0 = jnp.broadcast_to(remain_l0, (nc, b, chunk))
     levels = jnp.asarray(_LEVELS, f32)
 
     def level_fn(carry, level):
@@ -309,14 +336,14 @@ def _emd_forward_chunked(xyz1: jax.Array, xyz2: jax.Array):
         return (remain_l, remain_r, cost, grad1, grad2), None
 
     init = (
-        jnp.full((nc, b, chunk), multi_l, f32),
+        remain_l0,
         jnp.full((b, m), multi_r, f32),
         jnp.zeros((b,), f32),
         jnp.zeros((nc, b, chunk, 3), f32),
         jnp.zeros((b, m, 3), f32),
     )
     (_, _, cost, grad1, grad2), _ = jax.lax.scan(level_fn, init, levels)
-    grad1 = grad1.transpose(1, 0, 2, 3).reshape(b, n, 3)
+    grad1 = grad1.transpose(1, 0, 2, 3).reshape(b, n_pad, 3)[:, :n]
     return cost, grad1, grad2
 
 
@@ -375,7 +402,7 @@ def emd_cost(xyz1: jax.Array, xyz2: jax.Array,
         # having no O(N*M) HBM footprint, so Pallas is simply the TPU
         # default; emd_forward_pallas itself falls back to dense for
         # shapes the kernel doesn't support.
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        impl = "pallas" if _tpu_mod.compute_on_tpu() else "xla"
     return _emd_cost(xyz1.astype(jnp.float32), xyz2.astype(jnp.float32),
                      impl)
 

@@ -57,6 +57,8 @@ import math
 
 import jax
 import jax.numpy as jnp
+
+from pointnet_autoencoder_tpu.ops import tpu as _tpu_mod
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -219,7 +221,7 @@ def emd_forward_pallas(xyz1: jax.Array, xyz2: jax.Array,
     the VMEM budget.
     """
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = not _tpu_mod.compute_on_tpu()
     b, n, _ = xyz1.shape
     m = xyz2.shape[1]
     tile_n = _pick_tile_n(n, m)

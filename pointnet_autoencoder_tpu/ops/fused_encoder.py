@@ -28,6 +28,8 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from pointnet_autoencoder_tpu.ops import tpu as _tpu_mod
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -119,7 +121,7 @@ def fused_encoder_eval(points: jax.Array, layers: Sequence[LayerParams],
     here in XLA.
     """
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = not _tpu_mod.compute_on_tpu()
     b, n, _ = points.shape
     if tile_cap is None:
         tile_cap = _default_tile_cap([w.shape[1] for (w, *_r) in layers])

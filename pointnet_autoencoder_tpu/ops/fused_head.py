@@ -48,6 +48,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from pointnet_autoencoder_tpu.ops import tpu as _tpu_mod
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -59,7 +61,7 @@ from pointnet_autoencoder_tpu.ops.tpu import (
 
 
 def _auto_impl() -> str:
-    return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return "pallas" if _tpu_mod.compute_on_tpu() else "xla"
 
 
 def _pick_tile_n(n: int, cap: int = 512) -> int:
@@ -347,5 +349,5 @@ def fused_dense_bn_relu_max(x, w, b, gamma, beta, mean, var,
                                                 w.shape[1]):
         impl = "xla"
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = not _tpu_mod.compute_on_tpu()
     return _head_max(x, w, b, gamma, beta, mean, var, eps, impl, interpret)

@@ -175,6 +175,59 @@ def check_emd_large_n(b=1, n=16384, m=16384, seed=4):
                extra="(relative to grad max)")
 
 
+def check_emd_route_boundary():
+    """The kernel->streaming auto-route boundary, in the DEFAULT sweep
+    (round-5 verdict #6: the routing decision used to be exercised only by
+    the opt-in --large_n run, so a regression would ship silently).
+
+    Two cheap parts:
+    (1) Routing decisions, host-side (shape logic only, no device work):
+        just past the VMEM envelope the kernel wrapper must decline
+        (emd_forward_pallas -> None) and the byte limit must route the
+        fallback to the STREAMING path, with a bounded chunk count
+        (ops/emd.py:323-338 auto-route; _pick_row_chunk round-5 contract).
+    (2) The streaming program itself compiled on the attached accelerator
+        vs the numpy oracle at a small NON-divisible-N shape -- covers the
+        round-5 zero-capacity row padding in the compiled program without
+        the minutes-scale 16384^2 oracle (that stays in --large_n).
+    """
+    from pointnet_autoencoder_tpu.ops import emd_pallas
+
+    # (1a) N=M=32768: uncached VMEM footprint exceeds the cap -> kernel
+    # declines; numpy arrays so the check costs no device programs.
+    big1 = np.zeros((1, 32768, 3), np.float32)
+    big2 = np.zeros((1, 32768, 3), np.float32)
+    declined = emd_pallas.emd_forward_pallas(big1, big2) is None
+    _check("emd route: kernel declines past VMEM envelope",
+           0.0 if declined else 1.0, 0.0)
+    # (1b) ...and the fallback streams rather than materializing (B,N,M).
+    streams = 4 * 1 * 32768 * 32768 > emd._DENSE_BYTES_LIMIT
+    _check("emd route: past-envelope shape streams (no dense (B,N,M))",
+           0.0 if streams else 1.0, 0.0)
+    chunk = emd._pick_row_chunk(1, 32768, 32768)
+    nc = -(-32768 // chunk)
+    _check("emd route: streaming chunk count bounded (<= 64)",
+           float(nc), 64.0, extra=f"(chunk={chunk}, nc={nc})")
+    # (2) compiled streaming numerics at a cheap non-divisible N (the
+    # chunk does not divide 253 -> zero-capacity row padding engages).
+    b, n, m = 2, 253, 192
+    rng = np.random.RandomState(7)
+    x1 = rng.rand(b, n, 3).astype(np.float32)
+    x2 = rng.rand(b, m, 3).astype(np.float32)
+    rmatch = oracles.approx_match_np(x1, x2)
+    rcost = oracles.match_cost_np(x1, x2, rmatch)
+    rg1, rg2 = oracles.match_cost_grad_np(x1, x2, rmatch)
+    scale = max(float(np.abs(rg1).max()), float(np.abs(rg2).max()))
+    cost, g1, g2 = jax.device_get(jax.jit(
+        lambda a, c: emd._emd_forward_any(a, c, "chunked"))(x1, x2))
+    _check(f"emd[chunked] padded-N cost (B={b}, N={n}, M={m})",
+           _maxerr(cost, rcost) / max(float(rcost.max()), 1.0), 2e-3,
+           extra="(relative)")
+    _check("emd[chunked] padded-N grads",
+           max(_maxerr(g1, rg1), _maxerr(g2, rg2)) / scale, 5e-3,
+           extra="(relative to grad max)")
+
+
 def check_chamfer_large_n(b=1, n=16384, m=16384, seed=5):
     """Chamfer at the same large-N regime as check_emd_large_n. Unlike EMD
     (whose kernel envelope needed round-4's streaming fallback), the

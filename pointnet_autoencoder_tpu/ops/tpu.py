@@ -44,3 +44,25 @@ def matmul_precision(dtype):
     import jax.numpy as jnp
 
     return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
+def compute_on_tpu() -> bool:
+    """Whether computations dispatched *now* target a TPU.
+
+    ``jax.default_backend()`` alone is wrong under a
+    ``jax.default_device(cpu_device)`` override: jit then places programs
+    on the CPU backend even though the process default backend is still
+    TPU, and a compiled (non-interpret) pallas_call would fail to lower
+    ("Only interpret mode is supported on CPU backend"). Host-side
+    initialization work uses exactly that override to avoid paying the
+    tunneled TPU a server round trip per tiny init program (bench.py),
+    so every Pallas op's interpret/impl default routes through here.
+    """
+    import jax
+
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        platform = dev if isinstance(dev, str) else getattr(
+            dev, "platform", None)
+        return platform == "tpu"
+    return jax.default_backend() == "tpu"

@@ -252,7 +252,11 @@ class Trainer:
             self.mesh, TrainState.create(variables, self.tx)
         )
 
-        if config.point_parallel:
+        # Whether the SP-decomposed step is actually in use (tests/intros-
+        # pection; False for --point_parallel on a 1-device point mesh).
+        self.sp_active = (config.point_parallel
+                          and self.mesh.shape[meshlib.DATA_AXIS] > 1)
+        if self.sp_active:
             # SP step: shard_map losses + GSPMD-sharded encoder
             # (parallel/sp.py); pred replicates at the loss seam.
             train_step, eval_step = sp.make_sp_step_fns(
@@ -260,6 +264,13 @@ class Trainer:
                 stochastic_round=config.bf16_params,
             )
         else:
+            # Includes --point_parallel on a 1-device point mesh: the SP
+            # decomposition's collectives are all no-ops there but its
+            # shard_map loss restructuring still cost a measured 39% of
+            # flagship throughput (round-4 verdict #2), so degree 1
+            # compiles the plain step (loss-equivalent by the SP==DP
+            # equivalence tests; bit-equal trivially, since it IS the DP
+            # program). SP engages when the point axis actually shards.
             train_step, eval_step = make_step_fns(
                 self.model, self.spec, self.tx, bn, lr,
                 stochastic_round=config.bf16_params,

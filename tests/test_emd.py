@@ -123,8 +123,8 @@ def test_pallas_falls_back_for_very_wide_m():
 def test_chunked_streaming_matches_dense(b, n, m):
     """The non-materializing row-chunked path (ops/emd.py:
     _emd_forward_chunked) must reproduce the dense scan: cost, both
-    plan-constant gradients, oracle parity. N=13 is prime (chunk degrades
-    to 1, the worst-case streaming shape)."""
+    plan-constant gradients, oracle parity. N=13 is prime (the row axis
+    pads to the 8-multiple chunk with zero-capacity rows)."""
     x1, x2 = _rand_clouds(b, n, m, seed=11)
     cd, g1d, g2d = emd._emd_forward(jnp.asarray(x1), jnp.asarray(x2))
     cc, g1c, g2c = jax.jit(emd._emd_forward_chunked)(
@@ -183,7 +183,43 @@ def test_pick_row_chunk():
     assert emd._pick_row_chunk(1, 16, 16, budget_bytes=1 << 30) == 16
     assert emd._pick_row_chunk(4, 16384, 16384,
                                budget_bytes=256 << 20) == 1024
-    assert emd._pick_row_chunk(1, 13, 1 << 20, budget_bytes=64) == 1
+    # Tiny budget: chunk floors at the sublane multiple, never below.
+    assert emd._pick_row_chunk(1, 13, 1 << 20, budget_bytes=64) == 8
+
+
+def test_pick_row_chunk_bounds_chunk_count():
+    """Round-5 fix (verdict #4): the chunk COUNT is bounded for any N --
+    the old divisor-only rule gave chunk=1 (an N-iteration scan) for
+    prime N. Pinned at N=12289 (prime, the large-N hwcheck shape) and a
+    sweep of awkward sizes."""
+    for b, n, m in [(1, 12289, 12289), (2, 12289, 12289), (1, 65521, 512),
+                    (4, 9999, 7777), (1, 101, 103), (32, 32768, 32768)]:
+        chunk = emd._pick_row_chunk(b, n, m)
+        nc = -(-n // chunk)
+        assert nc <= 64, (b, n, m, chunk, nc)
+        assert chunk % 8 == 0 or chunk == n
+
+
+@pytest.mark.parametrize("b,n,m", [(1, 101, 64), (2, 53, 40)])
+def test_chunked_streaming_padded_rows_exact(b, n, m):
+    """Prime N that does NOT divide by the chosen chunk: the zero-capacity
+    row padding must be numerically invisible -- cost, grads, and oracle
+    parity all match the dense scan, and grad1 keeps shape (B, N, 3)."""
+    x1, x2 = _rand_clouds(b, n, m, seed=21)
+    chunk = emd._pick_row_chunk(b, n, m)
+    assert n % chunk != 0  # the shape really exercises padding
+    cd, g1d, g2d = emd._emd_forward(jnp.asarray(x1), jnp.asarray(x2))
+    cc, g1c, g2c = jax.jit(emd._emd_forward_chunked)(
+        jnp.asarray(x1), jnp.asarray(x2))
+    assert g1c.shape == (b, n, 3)
+    np.testing.assert_allclose(np.asarray(cc), np.asarray(cd),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1c), np.asarray(g1d),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g2c), np.asarray(g2d),
+                               rtol=1e-4, atol=1e-6)
+    ref = oracles.match_cost_np(x1, x2, oracles.approx_match_np(x1, x2))
+    np.testing.assert_allclose(np.asarray(cc), ref, rtol=1e-3, atol=1e-4)
 
 
 def test_kernel_envelope_estimate():

@@ -644,3 +644,82 @@ def test_graft_entry_compiles():
     lowered = jax.jit(fn).lower(*args)
     compiled = lowered.compile()
     assert compiled is not None
+
+
+def test_sp_degree1_bit_parity_and_trainer_bypass():
+    """Point-parallel at point-mesh degree 1 (round-5 verdict #3).
+
+    (a) The SP-decomposed step on a 1-device mesh reproduces the plain
+    step's loss to f32 summation order (measured 1-ulp difference: the
+    shard_map bodies reduce partial means in a different association even
+    when they see the full arrays). This is what makes the Trainer's
+    degree-1 bypass legal -- and why the bypass, not the decomposed step,
+    is what delivers bit parity with DP (it IS the DP program).
+    (b) The Trainer actually takes the bypass: --point_parallel with
+    data_parallel=1 compiles the plain step (sp_active False), so the
+    long-N mode no longer taxes the degenerate mesh (measured 39% of
+    flagship throughput in round 4).
+    """
+    from pointnet_autoencoder_tpu.parallel import sp
+
+    n_point, batch = 128, 4
+    spec = get_model_spec("model")
+    model, variables = spec.init_variables(
+        jax.random.PRNGKey(0), n_point, batch)
+    lr = schedules.learning_rate_schedule(0.001, 0.7, batch, 200000)
+    bn = schedules.bn_momentum_schedule(batch, 200000)
+    tx = make_optimizer("adam", lr)
+    batch_arr = jax.random.normal(jax.random.PRNGKey(5),
+                                  (batch, n_point, 3))
+
+    mesh1 = meshlib.make_mesh(devices=jax.devices()[:1])
+    plain_step, _ = make_step_fns(model, spec, tx, bn, lr)
+    sp_step, _ = sp.make_sp_step_fns(model, spec, tx, bn, lr, mesh1)
+
+    dev_batch = jax.device_put(batch_arr, jax.devices()[0])
+    _, m_plain = jax.jit(plain_step)(TrainState.create(variables, tx),
+                                     dev_batch)
+    state_sp = meshlib.replicate(mesh1, TrainState.create(variables, tx))
+    _, m_sp = jax.jit(sp_step)(
+        state_sp, jax.device_put(batch_arr, sp.point_batch_sharding(mesh1)))
+    np.testing.assert_allclose(float(m_plain["loss"]), float(m_sp["loss"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(m_plain["pcloss"]),
+                               float(m_sp["pcloss"]), rtol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    from pointnet_autoencoder_tpu.data import synthetic
+
+    root = tmp_path_factory.mktemp("shapenet_sp")
+    return synthetic.write_fixture(str(root), shapes_per_category=48,
+                                   points_per_shape=80, seed=0)
+
+
+def test_trainer_point_parallel_bypass_degree1(fixture_root, tmp_path):
+    """Trainer(point_parallel=True) on a 1-device point mesh routes to the
+    plain step and trains to the same loss as the default mode."""
+    from pointnet_autoencoder_tpu.config import TrainConfig
+    from pointnet_autoencoder_tpu.train.loop import Trainer
+
+    common = dict(model="model", category="Chair", num_point=64,
+                  max_epoch=1, batch_size=8, data_path=fixture_root,
+                  seed=0, log_every=1, data_parallel=1)
+    t_sp = Trainer(TrainConfig(log_dir=str(tmp_path / "sp"),
+                               point_parallel=True, **common))
+    assert t_sp.sp_active is False
+    best_sp = t_sp.train()
+    t_sp.close()
+    t_dp = Trainer(TrainConfig(log_dir=str(tmp_path / "dp"), **common))
+    assert t_dp.sp_active is False
+    best_dp = t_dp.train()
+    t_dp.close()
+    assert best_sp == best_dp
+
+    # On the full 8-device mesh the SP step IS engaged.
+    cfg8 = TrainConfig(log_dir=str(tmp_path / "sp8"), point_parallel=True,
+                       **{**common, "data_parallel": None})
+    t8 = Trainer(cfg8)
+    assert t8.sp_active is True
+    t8.close()
