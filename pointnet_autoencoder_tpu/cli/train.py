@@ -83,6 +83,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "updates applied with stochastic rounding "
                         "(halves parameter HBM traffic; BN/optimizer "
                         "state stay f32; see docs/ARCHITECTURE.md)")
+    p.add_argument("--bf16_moments", action="store_true",
+                   default=d.bf16_moments,
+                   help="Store Adam moment slots for matmul params in "
+                        "bf16 (stochastically rounded f32 updates); "
+                        "halves optimizer-state HBM traffic")
     p.add_argument("--profile_dir", default=None,
                    help="Write a jax.profiler trace of the first epoch here")
     p.add_argument("--lr_floor", type=float, default=None,
@@ -124,7 +129,7 @@ def config_from_args(args) -> TrainConfig:
         data_parallel=args.data_parallel,
         model_parallel=args.model_parallel,
         point_parallel=args.point_parallel, bf16=args.bf16,
-        bf16_params=args.bf16_params,
+        bf16_params=args.bf16_params, bf16_moments=args.bf16_moments,
         profile_dir=args.profile_dir, lr_floor=args.lr_floor,
         log_every=args.log_every, eval_only=args.eval_only,
         cache_dir=args.cache_dir,

@@ -55,6 +55,12 @@ class TrainConfig:
                                   # rounding (train/master.py); halves
                                   # parameter HBM traffic. Opt-in; measured
                                   # numbers in docs/ARCHITECTURE.md
+    bf16_moments: bool = False    # store Adam moment slots for matmul
+                                  # params in bf16 with stochastically
+                                  # rounded updates (train/master.py:
+                                  # bf16_moments); halves optimizer-state
+                                  # HBM traffic. Opt-in; measured numbers
+                                  # in docs/ARCHITECTURE.md
     profile_dir: Optional[str] = None    # jax.profiler trace output
     lr_floor: Optional[float] = None     # reference's intended-but-dead clamp
     eval_only: bool = False

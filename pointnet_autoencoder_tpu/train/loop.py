@@ -246,6 +246,10 @@ class Trainer:
             variables = dict(variables)
             variables["params"] = master.cast_master_bf16(variables["params"])
             self.tx = master.f32_math(self.tx)
+        if config.bf16_moments:
+            # bf16 Adam moment storage for the matmul class (outermost
+            # wrapper: math stays f32 inside, stores round stochastically).
+            self.tx = master.bf16_moments(self.tx)
         # tp.shard_state places decoder FC weights over the 'model' axis
         # (identical to plain replication when model_parallel == 1).
         self.state = tp.shard_state(

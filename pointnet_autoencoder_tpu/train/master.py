@@ -130,3 +130,67 @@ def apply_updates_sr(params, updates, step: jax.Array):
         return (p + u.astype(p.dtype)).astype(p.dtype)
 
     return jax.tree.map(apply, params, updates, keys)
+
+
+def bf16_moments(tx: optax.GradientTransformation
+                 ) -> optax.GradientTransformation:
+    """Store the optimizer's per-parameter moment slots for MATMUL params
+    in bfloat16 (``--bf16_moments``).
+
+    The round-4 flagship step sits at ~100-108% of its whole-program byte
+    model; the remaining lever is fewer bytes (round-5 verdict #2), and
+    after bf16 master weights the largest named parameter-class traffic is
+    Adam's f32 m/v -- 2 x ~8.4M f32 = ~67 MB read AND rewritten every
+    step for the matmul class (fc3 alone carries 2 x 25 MB). This wrapper
+    halves that: moments are stored bf16 and upcast to f32 at the
+    arithmetic boundary, so the Adam math itself is unchanged f32.
+
+    The downcast uses STOCHASTIC rounding (same uint16-add trick as the
+    bf16 master params, keys threaded from a wrapper-owned step counter):
+    a deterministic bf16 EMA stalls once its per-step increment falls
+    under half an ulp -- nu's relative increment is ~(1-b2)=1e-3 against
+    bf16's ~3.9e-3 half-ulp, i.e. nu would FREEZE at convergence-scale
+    values -- while the stochastic round keeps E[EMA] exact.
+
+    Only f32 leaves on matmul-module paths are cast (count stays int32,
+    BN-parameter moments stay f32, mirroring cast_master_bf16's class
+    split). Composes with :func:`f32_math` in either order; the Trainer
+    applies it outermost. The reference's Adam is pure f32
+    (train.py:117-121) -- beating it everywhere includes optimizer
+    traffic.
+    """
+
+    def down(state, key):
+        leaves, treedef = jax.tree_util.tree_flatten(state)
+        keys = list(jax.random.split(key, len(leaves)))
+        keyed = jax.tree_util.tree_unflatten(treedef, keys)
+
+        def cast(path, x, k):
+            if _is_matmul_path(path) and x.dtype == jnp.float32:
+                return stochastic_round_bf16(x, k)
+            return x
+
+        return jax.tree_util.tree_map_with_path(cast, state, keyed)
+
+    def up(state):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if x.dtype == jnp.bfloat16 else x, state)
+
+    def init(params):
+        # First downcast is exact for adam's zero-init moments (0.0 is
+        # representable), so plain cast -- no key needed at init.
+        inner = tx.init(params)
+        return (jnp.zeros((), jnp.int32), jax.tree_util.tree_map_with_path(
+            lambda p, x: x.astype(jnp.bfloat16)
+            if (_is_matmul_path(p) and x.dtype == jnp.float32) else x,
+            inner))
+
+    def update(grads, state, params=None):
+        count, inner = state
+        updates, new_inner = tx.update(grads, up(inner), params)
+        key = jax.random.fold_in(
+            jax.random.key(_SR_BASE_KEY ^ 0x3A7, impl="rbg"), count)
+        return updates, (count + 1, down(new_inner, key))
+
+    return optax.GradientTransformation(init, update)

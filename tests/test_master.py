@@ -264,3 +264,109 @@ def test_bf16_params_losses_comparable_to_f32_master(fixture_root, tmp_path):
     assert np.isfinite(losses["bf16"])
     # Coarse envelope: within 2x of each other after 2 epochs.
     assert losses["bf16"] < 2.0 * losses["f32"] + 1e-6
+
+
+# -- bf16 Adam moments (--bf16_moments, round 5) ------------------------------
+
+
+def _moment_dtypes(opt_state):
+    return {
+        tuple(getattr(k, "key", getattr(k, "name", k)) for k in path):
+            leaf.dtype
+        for path, leaf in jax.tree_util.tree_flatten_with_path(opt_state)[0]
+        if hasattr(leaf, "dtype")
+    }
+
+
+def test_bf16_moments_state_dtypes():
+    """Matmul-path moment slots store bf16; BN moments and count do not."""
+    params = {
+        "conv": {"kernel": jnp.zeros((8, 16), jnp.float32)},
+        "bn": {"scale": jnp.zeros((16,), jnp.float32)},
+    }
+    tx = master.bf16_moments(optax.adam(1e-3))
+    state = tx.init(params)
+    count, inner = state
+    assert count.dtype == jnp.int32
+    dts = _moment_dtypes(inner)
+    for path, dt in dts.items():
+        if "conv" in path:
+            assert dt == jnp.bfloat16, path
+        elif "scale" in path:
+            assert dt == jnp.float32, path
+
+
+def test_bf16_moments_update_tracks_f32_adam():
+    """A few steps of bf16-moment Adam stay close to pure-f32 Adam: the
+    arithmetic is f32 (moments upcast at the boundary), only the stored
+    moments round -- stochastically, so no EMA stall."""
+    rng = np.random.RandomState(0)
+    params = {"conv": {"kernel": jnp.asarray(
+        rng.randn(32, 64).astype(np.float32))}}
+    g = {"conv": {"kernel": jnp.asarray(
+        0.1 * rng.randn(32, 64).astype(np.float32))}}
+    tx32 = optax.adam(1e-3)
+    tx16 = master.bf16_moments(optax.adam(1e-3))
+    s32, s16 = tx32.init(params), tx16.init(params)
+    p32 = p16 = params
+    for _ in range(5):
+        u32, s32 = tx32.update(g, s32, p32)
+        p32 = optax.apply_updates(p32, u32)
+        u16, s16 = tx16.update(g, s16, p16)
+        p16 = optax.apply_updates(p16, u16)
+    a = np.asarray(p32["conv"]["kernel"])
+    b = np.asarray(p16["conv"]["kernel"])
+    # Update magnitudes are ~lr; moment rounding perturbs them ~2^-9 rel.
+    np.testing.assert_allclose(a, b, atol=5e-5)
+
+
+def test_bf16_moments_no_ema_stall():
+    """The motivating failure mode: nu's per-step relative increment
+    (1-b2 = 1e-3) is below bf16's half-ulp, so a DETERMINISTIC bf16 EMA
+    freezes. With stochastic rounding the EMA keeps moving in
+    expectation: feeding a gradient 2x larger than the stored-nu scale
+    must grow nu."""
+    params = {"conv": {"kernel": jnp.ones((512, 512), jnp.float32)}}
+    tx = master.bf16_moments(optax.adam(1e-3))
+    state = tx.init(params)
+    g = {"conv": {"kernel": jnp.full((512, 512), 0.1, jnp.float32)}}
+    # Warm nu to ~0.01^2-scale, then switch to a 2x gradient.
+    for _ in range(30):
+        _, state = tx.update(g, state, params)
+    nu_before = float(jnp.mean(jnp.asarray(
+        state[1][0].nu["conv"]["kernel"], jnp.float32)))
+    g2 = {"conv": {"kernel": jnp.full((512, 512), 0.2, jnp.float32)}}
+    for _ in range(30):
+        _, state = tx.update(g2, state, params)
+    nu_after = float(jnp.mean(jnp.asarray(
+        state[1][0].nu["conv"]["kernel"], jnp.float32)))
+    assert nu_after > 1.5 * nu_before, (nu_before, nu_after)
+
+
+def test_trainer_bf16_moments_end_to_end(fixture_root, tmp_path):
+    """Two epochs with --bf16_moments (+ --bf16_params: the full
+    reduced-traffic configuration): finite improving loss, bf16 moment
+    slots preserved through the jitted donated step, resume intact."""
+    from pointnet_autoencoder_tpu.train.loop import Trainer
+
+    cfg = TrainConfig(
+        model="model", category="Chair", log_dir=str(tmp_path / "log"),
+        num_point=64, max_epoch=2, batch_size=8, data_path=fixture_root,
+        seed=0, log_every=1, bf16_params=True, bf16_moments=True,
+    )
+    trainer = Trainer(cfg)
+    count, inner = trainer.state.opt_state
+    assert any(dt == jnp.bfloat16 for dt in _moment_dtypes(inner).values())
+    best = trainer.train()
+    assert np.isfinite(best)
+    count, inner = trainer.state.opt_state
+    dts = _moment_dtypes(inner)
+    assert any(dt == jnp.bfloat16 for dt in dts.values())
+    trainer.close()
+
+    cfg2 = TrainConfig(**{**cfg.__dict__, "max_epoch": 3, "resume": True})
+    trainer2 = Trainer(cfg2)
+    assert trainer2.start_epoch >= 1
+    _, inner2 = trainer2.state.opt_state
+    assert _moment_dtypes(inner2) == dts
+    trainer2.close()
