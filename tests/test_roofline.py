@@ -160,3 +160,16 @@ def test_binding_bound_for_kernel_dominated_step():
     r2 = roofline.roofline_report("model", 32, 2048, 2.73, compiled=fake_mb)
     assert "composed_bound_ms" not in r2
     assert r2["bound_ms"] == r2["mem_bound_ms"]
+
+
+def test_emd_streaming_floor():
+    """The streaming path's analytic bound (round-5: streaming rows were
+    bare measurements): 2x-uncached-d2 op count, linear in B*N*M*levels."""
+    b1 = roofline.emd_streaming_floor_ms(1, 16384, 16384)
+    # 10 * 268M pairs * 41 ops / 3.9e12 ops/s ~= 28 ms.
+    assert 25.0 < b1 < 32.0
+    assert roofline.emd_streaming_floor_ms(2, 16384, 16384) == \
+        pytest.approx(2 * b1)
+    # Strictly above the fused kernel's per-pair budget (recompute tax).
+    assert (roofline.emd_streaming_floor_ms(1, 2048, 2048)
+            > roofline.emd_vpu_ops(1, 2048, 2048) / roofline.VPU_OPS * 1e3)
