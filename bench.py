@@ -201,8 +201,21 @@ def main() -> None:
 
     def emit():
         extras["bench_wall_s"] = round(elapsed(), 1)
-        print(json.dumps(result))
+        extras["recorded_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                              time.gmtime())
+        line = json.dumps(result)
+        print(line)
         sys.stdout.flush()
+        # Self-recorded artifact beside the driver's BENCH_r*.json: a
+        # successful in-round run leaves machine-readable evidence even if
+        # a later driver run hits tunnel contention and times out
+        # (round 4: rc=124 erased the round's perf evidence).
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(
+                    __file__)), "BENCH_SELF.json"), "w") as f:
+                f.write(line + "\n")
+        except OSError:
+            pass
 
     emit()  # the headline artifact exists from this point on
 
