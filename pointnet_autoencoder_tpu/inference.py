@@ -25,6 +25,7 @@ from pointnet_autoencoder_tpu.models.autoencoder import DECODERS
 from pointnet_autoencoder_tpu.models.registry import get_model_spec
 from pointnet_autoencoder_tpu.ops.chamfer import fscore as _fscore_op
 from pointnet_autoencoder_tpu.ops.chamfer import nn_distance
+from pointnet_autoencoder_tpu.train import master
 from pointnet_autoencoder_tpu.train.checkpoint import CheckpointManager
 from pointnet_autoencoder_tpu.train.state import TrainState, make_optimizer
 
@@ -65,9 +66,15 @@ def chunked_dispatch(run, arr: np.ndarray, chunk_size: int):
 
 
 def _optimizer_candidates(ckpt_dir: str):
-    """(optimizer_name, momentum) guesses for a checkpoint directory, best
-    first: the run's snapshotted config.json if present, then every known
-    optimizer (the reference supports adam and momentum, train.py:117-120)."""
+    """(optimizer_name, momentum, bf16_params, bf16_moments) guesses for a
+    checkpoint directory, best first: the run's snapshotted config.json if
+    present, then every known optimizer-state layout. The bf16 flags change
+    the stored tree the same way the Trainer wires them (train/loop.py:
+    cast_master_bf16 + f32_math for ``--bf16_params``; the (count, inner)
+    bf16_moments wrapper for ``--bf16_moments``), so the abstract restore
+    tree must mirror them or orbax rejects the structure. The reference's
+    Saver restore has no analog problem (TF restores by variable name,
+    test.py:51); here the optimizer slots live in the checkpoint tree."""
     candidates = []
     cfg_path = os.path.join(ckpt_dir, "config.json")
     if os.path.exists(cfg_path):
@@ -76,13 +83,19 @@ def _optimizer_candidates(ckpt_dir: str):
                 cfg = json.load(f)
             if cfg.get("optimizer"):
                 candidates.append(
-                    (cfg["optimizer"], float(cfg.get("momentum", 0.9)))
+                    (cfg["optimizer"], float(cfg.get("momentum", 0.9)),
+                     bool(cfg.get("bf16_params", False)),
+                     bool(cfg.get("bf16_moments", False)))
                 )
         except (OSError, ValueError):
             pass
     for name in ("adam", "momentum"):
-        if not any(c[0] == name for c in candidates):
-            candidates.append((name, 0.9))
+        for p16 in (False, True):
+            for m16 in (False, True):
+                c = (name, 0.9, p16, m16)
+                if not any(c[0] == o[0] and c[2:] == o[2:]
+                           for o in candidates):
+                    candidates.append(c)
     return candidates
 
 
@@ -230,21 +243,31 @@ class InferenceSession:
         mgr = CheckpointManager(ckpt_dir)
         restored = None
         errors = []
-        for opt_name, momentum in _optimizer_candidates(ckpt_dir):
+        for opt_name, momentum, p16, m16 in _optimizer_candidates(ckpt_dir):
             # Everything inside the try: an unrecognized optimizer name
             # from a (possibly newer) config.json must fall through to the
             # known-optimizer candidates, not abort the restore.
             try:
                 tx = make_optimizer(opt_name, lambda s: 1e-3, momentum)
+                cand_vars = variables
+                if p16:
+                    # --bf16_params runs store matmul params bf16 and keep
+                    # optimizer state f32 (train/loop.py wiring).
+                    cand_vars = dict(variables)
+                    cand_vars["params"] = master.cast_master_bf16(
+                        cand_vars["params"])
+                    tx = master.f32_math(tx)
+                if m16:
+                    tx = master.bf16_moments(tx)
                 abstract = {
-                    "state": TrainState.create(variables, tx),
+                    "state": TrainState.create(cand_vars, tx),
                     "epoch": 0,
                     "best_loss": 0.0,
                 }
                 restored = mgr.restore(model_path, abstract)
                 break
             except (ValueError, KeyError, TypeError) as e:
-                errors.append(f"{opt_name}: {e}")
+                errors.append(f"{opt_name}/p16={p16}/m16={m16}: {e}")
         if restored is None:
             # A mismatch under state.params means the checkpoint's network
             # tree itself differs -- wrong --model, not an optimizer-slot
@@ -271,7 +294,13 @@ class InferenceSession:
                 f"state layout:{hint}\n" + "\n".join(errors)
             )
         return {
-            "params": restored["state"].params,
+            # Serve at the session's own precision regardless of how the
+            # run stored its master weights: a --bf16_params checkpoint
+            # restores bf16 leaves, which upcast into the (default-f32)
+            # serving template here exactly as cli.export does.
+            "params": jax.tree.map(
+                lambda t, r: r.astype(t.dtype),
+                variables["params"], restored["state"].params),
             "batch_stats": restored["state"].batch_stats,
         }
 

@@ -258,6 +258,53 @@ def test_session_restores_momentum_checkpoint(trained, tmp_path):
                    ["kernel"]))
 
 
+def test_session_restores_bf16_diet_checkpoint(trained, tmp_path):
+    """A checkpoint written with --bf16_params --bf16_moments must restore
+    for inference: bf16 master params and the (count, inner) bf16_moments
+    opt-state wrapper both change the stored tree vs the plain-Adam
+    abstract (round-5 regression — cli.test failed on such checkpoints)."""
+    root, _ = trained
+    log_dir = str(tmp_path / "log_diet")
+    from pointnet_autoencoder_tpu.train.loop import Trainer
+
+    cfg = TrainConfig(model="model", category="Chair", log_dir=log_dir,
+                      num_point=NUM_POINT, max_epoch=1, batch_size=8,
+                      data_path=root, seed=0, log_every=100,
+                      bf16_params=True, bf16_moments=True)
+    trainer = Trainer(cfg)
+    trainer.train()
+    ckpt = trainer.ckpt.latest()
+    assert ckpt is not None
+
+    sess = InferenceSession("model", ckpt, NUM_POINT, batch_size=4)
+    ds = PartDataset(root, npoints=NUM_POINT, split="test",
+                     class_choice=["Chair"], seed=1)
+    rec = sess.reconstruct(ds[0][0])
+    assert rec.shape == (NUM_POINT, 3)
+    assert np.all(np.isfinite(rec))
+    # The bf16-stored kernel upcasts into the session's f32 template
+    # losslessly (bf16 embeds exactly in f32).
+    trained_kernel = np.asarray(jax.device_get(
+        trainer.state.params["encoder"]["conv1"]["dense"]["kernel"]
+    ).astype(np.float32))
+    restored_kernel = np.asarray(
+        sess._variables["params"]["encoder"]["conv1"]["dense"]["kernel"])
+    assert restored_kernel.dtype == np.float32
+    np.testing.assert_array_equal(trained_kernel, restored_kernel)
+
+    # Fallback path: no config.json → the diet layout is found by trial.
+    import shutil
+    bare = tmp_path / "bare_diet"
+    bare.mkdir()
+    shutil.copytree(ckpt, bare / os.path.basename(ckpt))
+    sess2 = InferenceSession("model", str(bare / os.path.basename(ckpt)),
+                             NUM_POINT, batch_size=4)
+    np.testing.assert_array_equal(
+        restored_kernel,
+        np.asarray(sess2._variables["params"]["encoder"]["conv1"]["dense"]
+                   ["kernel"]))
+
+
 def test_bundle_export_roundtrip(trained, tmp_path):
     """Params-only serving bundle: export from a training checkpoint, load
     via from_bundle and via the export CLI, identical reconstructions, and
