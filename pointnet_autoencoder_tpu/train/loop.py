@@ -269,12 +269,14 @@ class Trainer:
             )
         else:
             # Includes --point_parallel on a 1-device point mesh: the SP
-            # decomposition's collectives are all no-ops there but its
-            # shard_map loss restructuring still cost a measured 39% of
-            # flagship throughput (round-4 verdict #2), so degree 1
-            # compiles the plain step (loss-equivalent by the SP==DP
-            # equivalence tests; bit-equal trivially, since it IS the DP
-            # program). SP engages when the point axis actually shards.
+            # decomposition's collectives are all no-ops there, so degree
+            # 1 compiles the plain step -- bit-exact DP parity by
+            # construction (it IS the DP program; the decomposed step
+            # matches to 1 ulp, pinned by test). At jitted-step
+            # granularity the decomposition is actually free-to-faster
+            # (docs/RESULTS.md round-5 SP table); the bypass is kept for
+            # the bit-exactness guarantee, not speed. SP engages when the
+            # point axis actually shards.
             train_step, eval_step = make_step_fns(
                 self.model, self.spec, self.tx, bn, lr,
                 stochastic_round=config.bf16_params,
