@@ -14,12 +14,15 @@ import os
 import pytest
 
 
-def _run_bench(monkeypatch, capsys, budget: str):
+def _run_bench(monkeypatch, capsys, budget: str, tmp_path):
     import bench
 
     monkeypatch.setenv("BENCH_NUM_POINT", "128")
     monkeypatch.setenv("BENCH_ITERS_SCALE", "0.02")
     monkeypatch.setenv("BENCH_BUDGET_S", budget)
+    # The committed BENCH_SELF.json is hardware evidence; the CPU smoke
+    # must not overwrite it (it did, once).
+    monkeypatch.setenv("BENCH_SELF_PATH", str(tmp_path / "BENCH_SELF.json"))
     # Keep the CPU-backend cache entries out of the repo's TPU cache dir.
     monkeypatch.setattr(
         "pointnet_autoencoder_tpu.utils.backend.enable_compilation_cache",
@@ -32,8 +35,10 @@ def _run_bench(monkeypatch, capsys, budget: str):
 
 
 @pytest.mark.filterwarnings("ignore")
-def test_bench_artifact_lines(monkeypatch, capsys):
-    lines = _run_bench(monkeypatch, capsys, budget="600")
+def test_bench_artifact_lines(monkeypatch, capsys, tmp_path):
+    lines = _run_bench(monkeypatch, capsys, budget="600", tmp_path=tmp_path)
+    # The redirected self-artifact landed at the override path.
+    assert (tmp_path / "BENCH_SELF.json").exists()
     for d in lines:  # EVERY printed line is a complete parseable artifact
         assert d["metric"] == "train_throughput_model_b32_n2048"
         assert d["unit"] == "shapes/sec/chip"
@@ -49,10 +54,11 @@ def test_bench_artifact_lines(monkeypatch, capsys):
     assert "bench_wall_s" in last
 
 
-def test_bench_budget_skips_extras_not_artifact(monkeypatch, capsys):
+def test_bench_budget_skips_extras_not_artifact(monkeypatch, capsys,
+                                                tmp_path):
     """With a budget that expires immediately after the headline, every
     extra is skipped BY NAME and the artifact still prints."""
-    lines = _run_bench(monkeypatch, capsys, budget="0")
+    lines = _run_bench(monkeypatch, capsys, budget="0", tmp_path=tmp_path)
     last = lines[-1]["extras"]
     assert "model_emd" in last["skipped"]
     assert "model_step_ms" in last  # the headline always lands
