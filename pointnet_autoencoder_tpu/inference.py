@@ -259,12 +259,40 @@ class InferenceSession:
                     tx = master.f32_math(tx)
                 if m16:
                     tx = master.bf16_moments(tx)
-                abstract = {
-                    "state": TrainState.create(cand_vars, tx),
+                # eval_shape: the candidate tree is tried for STRUCTURE --
+                # materializing params + optimizer slots per failed
+                # candidate would cost ~100 MB of device arrays times the
+                # (now 8-deep) no-config fallback list (review fix);
+                # CheckpointManager.restore only needs shapes/dtypes.
+                abstract = jax.eval_shape(lambda v, t=tx: {
+                    "state": TrainState.create(v, t),
                     "epoch": 0,
                     "best_loss": 0.0,
-                }
-                restored = mgr.restore(model_path, abstract)
+                }, cand_vars)
+                # NOTE: assign `restored` only after the shape check below
+                # passes -- a relaxed-but-mismatched restore must leave it
+                # None so the candidate loop keeps trying / finally raises.
+                candidate = mgr.restore(model_path, abstract)
+                # Orbax relaxes SHAPES for sharding-less ShapeDtypeStruct
+                # targets (measured: a num_point=64 checkpoint "restores"
+                # into a num_point=128 abstract, returning the stored
+                # (1024, 192) fc3 silently). Re-impose the enforcement the
+                # concrete-array abstract used to provide; the message
+                # carries the phrase the num_point hint below keys on.
+                want = jax.tree_util.tree_flatten_with_path(
+                    {"params": abstract["state"].params,
+                     "batch_stats": abstract["state"].batch_stats})[0]
+                got = jax.tree_util.tree_leaves(
+                    {"params": candidate["state"].params,
+                     "batch_stats": candidate["state"].batch_stats})
+                for (path_a, a), r in zip(want, got):
+                    if tuple(r.shape) != tuple(a.shape):
+                        raise ValueError(
+                            f"requested shape {tuple(a.shape)} for leaf "
+                            f"{jax.tree_util.keystr(path_a)} is not "
+                            f"compatible with the stored shape "
+                            f"{tuple(r.shape)}")
+                restored = candidate
                 break
             except (ValueError, KeyError, TypeError) as e:
                 errors.append(f"{opt_name}/p16={p16}/m16={m16}: {e}")

@@ -40,10 +40,12 @@ def test_bench_artifact_lines(monkeypatch, capsys, tmp_path):
     # The redirected self-artifact landed at the override path.
     assert (tmp_path / "BENCH_SELF.json").exists()
     for d in lines:  # EVERY printed line is a complete parseable artifact
-        assert d["metric"] == "train_throughput_model_b32_n2048"
+        # The hook sets BENCH_NUM_POINT=128; the label must track the
+        # actual workload and the N=2048 baseline ratio must not apply.
+        assert d["metric"] == "train_throughput_model_b32_n128"
         assert d["unit"] == "shapes/sec/chip"
         assert d["value"] > 0
-        assert d["vs_baseline"] > 0
+        assert d["vs_baseline"] == 0.0
         assert "model_step_ms" in d["extras"]
         assert "model" in d["extras"]["roofline"]
     # headline-first: the first line already carries the flagship number;

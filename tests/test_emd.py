@@ -187,17 +187,31 @@ def test_pick_row_chunk():
     assert emd._pick_row_chunk(1, 13, 1 << 20, budget_bytes=64) == 8
 
 
-def test_pick_row_chunk_bounds_chunk_count():
-    """Round-5 fix (verdict #4): the chunk COUNT is bounded for any N --
-    the old divisor-only rule gave chunk=1 (an N-iteration scan) for
-    prime N. Pinned at N=12289 (prime, the large-N hwcheck shape) and a
-    sweep of awkward sizes."""
+def test_pick_row_chunk_bounds_count_and_bytes():
+    """Round-5 contract (verdict #4 + review fix): zero-capacity padding
+    means any chunk size works, so the picker takes the LARGEST chunk the
+    byte budget admits -- never chunk=1 scan poison for a prime N, a
+    chunk count <= 64 for every shape whose budget allows it, and the
+    (B, chunk, M) buffer NEVER exceeds the budget beyond the 8-row
+    sublane floor (the pre-fix count escalation handed B=32 N=M=32768 a
+    2.1 GB buffer, 8x budget -- an OOM risk on the path that exists to be
+    OOM-safe)."""
+    budget = 256 * 1024 * 1024
     for b, n, m in [(1, 12289, 12289), (2, 12289, 12289), (1, 65521, 512),
-                    (4, 9999, 7777), (1, 101, 103), (32, 32768, 32768)]:
+                    (4, 9999, 7777), (1, 101, 103), (32, 32768, 32768),
+                    (4, 16384, 16384)]:
         chunk = emd._pick_row_chunk(b, n, m)
         nc = -(-n // chunk)
-        assert nc <= 64, (b, n, m, chunk, nc)
+        # Budget always holds (up to the sublane-rounding floor).
+        assert 4 * b * chunk * m <= max(budget + 4 * b * 8 * m,
+                                        4 * b * 8 * m), (b, n, m, chunk)
+        # No scan poison: the chunk floors at the sublane multiple.
+        assert chunk >= min(n, 8), (b, n, m, chunk)
         assert chunk % 8 == 0 or chunk == n
+        # Whenever the budget admits n/64 rows per chunk, the count bound
+        # holds too.
+        if budget // (4 * b * m) >= -(-n // 64):
+            assert nc <= 64, (b, n, m, chunk, nc)
 
 
 @pytest.mark.parametrize("b,n,m", [(1, 101, 64), (2, 53, 40)])
