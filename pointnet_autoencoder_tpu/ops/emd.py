@@ -234,8 +234,7 @@ _DENSE_BYTES_LIMIT = 1 << 30
 
 
 def _pick_row_chunk(b: int, n: int, m: int,
-                    budget_bytes: int = 256 * 1024 * 1024,
-                    max_chunks: int = 64) -> int:
+                    budget_bytes: int = 256 * 1024 * 1024) -> int:
     """Row-chunk size for the streaming path: the largest chunk whose
     (B, chunk, M) f32 buffer fits ``budget_bytes``, rounded up to the f32
     sublane multiple (8). Any chunk works -- the caller pads the row axis
@@ -245,20 +244,18 @@ def _pick_row_chunk(b: int, n: int, m: int,
     padding. That padding is the round-5 fix for verdict #4: the old
     divisor-only rule degenerated to chunk=1 for a prime N (a lax.scan of
     N iterations x 10 levels -- runtime poison); now the chunk floors at
-    the 8-row sublane regardless of divisibility, and for every shape the
-    budget admits, the count lands <= ``max_chunks`` (the budget is taken
-    as the binding constraint when the two conflict: this path exists as
-    the OOM-safe route past the kernel envelope, so a longer scan of
-    budget-sized chunks beats an out-of-memory short one -- the scan body
-    compiles once regardless of length). Reference anchor: the CUDA
+    the 8-row sublane regardless of divisibility.
+
+    The largest chunk within budget IS the fewest-chunks choice, so no
+    explicit chunk-count bound exists -- and none must be added: count
+    pressure only ever costs time (the scan body compiles once regardless
+    of length), while a budget overrun costs HBM on the path whose whole
+    purpose is OOM safety (an interim <= 64-chunks escalation handed
+    B=32 N=M=32768 a 2.1 GB working buffer, 8x budget). For every shape
+    the budget admits, the count lands <= 64 anyway (tests pin both the
+    byte and the conditional count contract). Reference anchor: the CUDA
     kernel streams arbitrary n,m with no divisibility demands
     (tf_approxmatch_g.cu:1-179)."""
-    # The largest chunk within budget IS the fewest-chunks choice, so the
-    # count bound needs no explicit escalation -- and must not get one:
-    # chunk-count pressure only ever costs time, a budget overrun costs
-    # HBM the envelope promised to spare (the pre-round-5 escalation gave
-    # B=32 N=M=32768 a 2.1 GB working buffer, 8x budget).
-    del max_chunks  # soft target; see docstring
     limit = max(1, budget_bytes // (4 * b * m))
     chunk = min(n, limit)
     return -8 * (-chunk // 8)  # round up to the sublane multiple

@@ -234,10 +234,21 @@ def check_emd_route_boundary():
     streams = 4 * 1 * 32768 * 32768 > emd._DENSE_BYTES_LIMIT
     _check("emd route: past-envelope shape streams (no dense (B,N,M))",
            0.0 if streams else 1.0, 0.0)
-    chunk = emd._pick_row_chunk(1, 32768, 32768)
-    nc = -(-32768 // chunk)
-    _check("emd route: streaming chunk count bounded (<= 64)",
-           float(nc), 64.0, extra=f"(chunk={chunk}, nc={nc})")
+    # Budget-first chunk contract (review fix): the working buffer never
+    # exceeds the 256 MB budget beyond the 8-row sublane floor, and the
+    # chunk count stays <= 64 whenever the budget admits n/64 rows per
+    # chunk (true for this shape; NOT an unconditional bound -- extreme
+    # B*M trades count for budget safety, see _pick_row_chunk).
+    budget = 256 * 1024 * 1024
+    b_, n_, m_ = 1, 32768, 32768
+    chunk = emd._pick_row_chunk(b_, n_, m_)
+    nc = -(-n_ // chunk)
+    over = max(0, 4 * b_ * chunk * m_ - (budget + 4 * b_ * 8 * m_))
+    _check("emd route: streaming buffer within byte budget",
+           float(over), 0.0, extra=f"(chunk={chunk}, {4*b_*chunk*m_>>20} MiB)")
+    if budget // (4 * b_ * m_) >= -(-n_ // 64):
+        _check("emd route: chunk count bounded (budget admits <= 64)",
+               float(nc), 64.0, extra=f"(chunk={chunk}, nc={nc})")
     # (2) compiled streaming numerics at a cheap non-divisible N (the
     # chunk does not divide 253 -> zero-capacity row padding engages).
     b, n, m = 2, 253, 192

@@ -214,6 +214,30 @@ def test_pick_row_chunk_bounds_count_and_bytes():
             assert nc <= 64, (b, n, m, chunk, nc)
 
 
+@pytest.mark.parametrize("b,n,m,chunk", [(2, 40, 32, 16), (1, 13, 40, 8)])
+def test_chunked_streaming_multi_chunk_exact(b, n, m, chunk, monkeypatch):
+    """Force nc >= 2 (the default 256 MB budget gives every CPU-test shape
+    a single chunk): the cross-chunk colsum accumulation in pass A and the
+    zero-capacity padding landing in the FINAL chunk of a multi-chunk scan
+    must reproduce the dense scan exactly. Without this pin, a regression
+    in the chunk-loop accumulation would only surface in the opt-in
+    --large_n hardware run (review finding)."""
+    monkeypatch.setattr(emd, "_pick_row_chunk", lambda *a, **k: chunk)
+    nc = -(-n // chunk)
+    assert nc >= 2
+    x1, x2 = _rand_clouds(b, n, m, seed=31)
+    cd, g1d, g2d = emd._emd_forward(jnp.asarray(x1), jnp.asarray(x2))
+    cc, g1c, g2c = jax.jit(emd._emd_forward_chunked)(
+        jnp.asarray(x1), jnp.asarray(x2))
+    assert g1c.shape == (b, n, 3)
+    np.testing.assert_allclose(np.asarray(cc), np.asarray(cd),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1c), np.asarray(g1d),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g2c), np.asarray(g2d),
+                               rtol=1e-4, atol=1e-6)
+
+
 @pytest.mark.parametrize("b,n,m", [(1, 101, 64), (2, 53, 40)])
 def test_chunked_streaming_padded_rows_exact(b, n, m):
     """Prime N that does NOT divide by the chosen chunk: the zero-capacity
