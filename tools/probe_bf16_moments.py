@@ -18,6 +18,10 @@ import time
 
 import numpy as np
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:  # `python tools/<probe>.py` puts tools/ on
+    sys.path.insert(0, _REPO)  # the path, not the repo root
+
 from pointnet_autoencoder_tpu.utils.backend import enable_compilation_cache
 
 enable_compilation_cache(

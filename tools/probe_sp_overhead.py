@@ -15,6 +15,10 @@ import time
 
 import numpy as np
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:  # `python tools/<probe>.py` puts tools/ on
+    sys.path.insert(0, _REPO)  # the path, not the repo root
+
 from pointnet_autoencoder_tpu.utils.backend import enable_compilation_cache
 
 enable_compilation_cache(
@@ -72,7 +76,13 @@ def build(B, N, mode):
 
 CONFIGS = [(32, 2048), (4, 2048), (4, 4096), (4, 8192), (4, 16384)]
 ITERS = {2048: 150, 4096: 100, 8192: 60, 16384: 25}
-WINDOWS = 4
+WINDOWS = int(os.environ.get("PROBE_WINDOWS", "4"))
+# Smoke hook: PROBE_SCALE=0.1 shrinks the timing loops (and PROBE_CONFIGS=1
+# keeps only the flagship shape) so the tool itself stays verifiable
+# without the full minutes-scale run.
+_scale = float(os.environ.get("PROBE_SCALE", "1"))
+ITERS = {n: max(1, int(it * _scale)) for n, it in ITERS.items()}
+CONFIGS = CONFIGS[:int(os.environ.get("PROBE_CONFIGS", len(CONFIGS)))]
 
 rows = []
 for B, N in CONFIGS:
